@@ -1,0 +1,12 @@
+from .edges import (  # noqa: F401
+    assign_dense_ids,
+    build_vertex_dictionary,
+    extract_edges,
+    degrees,
+    out_degrees,
+    undirect,
+)
+from .pagerank import pagerank  # noqa: F401
+from .components import connected_components  # noqa: F401
+from .labelprop import label_propagation  # noqa: F401
+from .triangles import triangle_count, triangle_count_per_vertex  # noqa: F401

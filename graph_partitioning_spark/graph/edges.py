@@ -1,0 +1,133 @@
+"""Edge-table construction: vertex dictionary, dense ids, degrees.
+
+Maps the reference's loader semantics (METIS 1-based ids → dense 0-based,
+/root/reference/graph_partitioning/utils.py:61-63) onto a scalable Spark
+plan. Dense id assignment avoids a single global window: range-partition by
+the key, count per partition (tiny driver-side prefix sum), then
+``row_number`` *within* each partition plus the partition's offset — two
+scans, no global sort bottleneck, deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.extraction import extract_links_udf
+
+
+def assign_dense_ids(
+    df: DataFrame, key: str, id_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
+    """Assign dense 0..n-1 ids ordered by ``key`` (deterministic, scalable).
+
+    Equivalent to ``row_number() over (order by key) - 1`` but without
+    funneling all rows through one task: repartitionByRange(key) →
+    per-partition row_number + driver-side offsets (k counts only).
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["_part"]: r["cnt"] for r in ranged.groupBy("_part").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame([(p, o) for p, o in offsets.items()], "_part int, _offset long")
+    )
+    w = Window.partitionBy("_part").orderBy(key)
+    out = (
+        ranged.join(offsets_df, "_part")
+        .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("_offset") - 1)
+        .drop("_part", "_offset")
+    )
+    return out
+
+
+def build_vertex_dictionary(pages: DataFrame) -> DataFrame:
+    """urls (page urls ∪ link targets) → dense vertex ids.
+
+    Returns ``vertices(id long, url string)``. Link-target urls that have no
+    crawled page still get vertices (dangling nodes), matching the usual
+    web-graph convention.
+    """
+    page_urls = pages.select("url")
+    target_urls = (
+        pages.select(F.explode(extract_links_udf("html")).alias("url")).distinct()
+    )
+    all_urls = page_urls.union(target_urls).distinct()
+    return assign_dense_ids(all_urls, "url").select("id", "url")
+
+
+def extract_edges(pages: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Hyperlink edge table ``(src long, dst long, weight double)``.
+
+    weight = number of times the (src_url → dst_url) link occurs on the page.
+    Self-loops are dropped. Two equi-joins against the vertex dictionary; at
+    scale the dictionary is the smaller side but not broadcastable, so both
+    joins shuffle on url — Catalyst/AQE handles skew (many pages → few hub
+    target urls) via skew-join splitting.
+    """
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_links_udf("html")).alias("dst_url"),
+    )
+    weighted = links.groupBy("src_url", "dst_url").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    src_v = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    dst_v = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    return (
+        weighted.join(src_v, "src_url")
+        .join(dst_v, "dst_url")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+    )
+
+
+def undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Canonical undirected edge list: one row per {u,v} with src < dst,
+    weights summed across both directions of duplicate links.
+
+    Matches the reference's nx.Graph undirected semantics
+    (/root/reference/graph_partitioning/utils.py:33: G = nx.Graph()) where
+    re-adding an existing edge overwrites; here parallel edges combine by
+    sum — the deterministic aggregate we standardize on.
+    """
+    canon = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "weight",
+    ).filter(F.col("src") != F.col("dst"))
+    if dedup:
+        canon = canon.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return canon
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected canonical edge list (for per-node
+    neighbor scans: votes join, degrees, LPA)."""
+    return edges.select("src", "dst", "weight").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def degrees(undirected_edges: DataFrame) -> DataFrame:
+    """(id, degree) over a canonical undirected edge list."""
+    return (
+        symmetrize(undirected_edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_degree) over a directed edge list."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )

@@ -1,0 +1,175 @@
+"""PageRank as iterative DataFrame joins + grouped aggregations (north-star T1).
+
+Semantics (matched 1e-6 allclose by tests/test_pagerank.py against a NumPy
+power-iteration oracle):
+
+    r'(v) = (1-d)/n + d * ( Σ_{u→v} r(u)/outdeg(u)  +  dangling_mass/n )
+
+with dangling_mass = Σ r(u) over vertices with outdeg 0, convergence when
+max_v |r'(v) − r(v)| < tol.
+
+Plan shape per superstep (the reference's vote join J1 shape,
+/root/reference/graph_partitioning/fennel.pyx:19-38, re-expressed relationally):
+  links ⋈ ranks on src  →  groupBy(dst).sum  →  left join back onto ranks.
+
+Scale notes:
+- ``links`` (edge table with per-edge contribution share) is repartitioned by
+  src once and persisted — only the (small, 2-column) rank table shuffles per
+  iteration.
+- The groupBy(dst) aggregation is a partial (map-side) + final hash agg, so a
+  power-law hub vertex receives pre-combined partial sums, one per shuffle
+  partition, not one message per in-edge — the classic combiner answer to
+  skew; AQE skew-join handles the join side.
+- Dangling mass is a single column-pruned scan over ranks (a static
+  ``is_dangling`` flag avoids a per-iteration anti-join).
+- Every ``checkpoint_every`` supersteps the rank state is written durably
+  with a manifest (counters: edges_scanned, messages_exchanged, skew_ratio)
+  and re-read, breaking lineage; a killed run resumes from the last manifest.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..checkpoint import CheckpointManager, Counters
+from .iterutil import materialize, release
+
+
+def _prepare(edges: DataFrame, weighted: bool, num_partitions: int):
+    """links(src, dst, share), vertices(id), dangling flags — all static."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "weight")
+    if weighted:
+        totals = e.groupBy("src").agg(F.sum("weight").alias("w_out"))
+        links = e.join(totals, "src").select(
+            "src", "dst", (F.col("weight") / F.col("w_out")).alias("share")
+        )
+    else:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+        links = e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("share")
+        )
+    links = links.repartition(num_partitions, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = e.select(F.col("src").alias("id")).distinct()
+    vertices = (
+        vertices.join(srcs.withColumn("_has_out", F.lit(True)), "id", "left")
+        .select("id", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
+        .repartition(num_partitions, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return links, vertices
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    weighted: bool = False,
+    num_partitions: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Run PageRank to convergence. Returns (ranks(id, pagerank), info).
+
+    info: {"iterations", "converged", "delta", "counters": {...}}.
+    With a ``checkpointer``, state + manifest land every ``checkpoint_every``
+    supersteps and an interrupted run restarts from the last manifest.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    links, vertices = _prepare(edges, weighted, num_partitions)
+    m = links.count()
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, pagerank double")
+        return empty, {"iterations": 0, "converged": True, "delta": 0.0, "counters": {}}
+
+    indeg_stats = (
+        links.groupBy("dst").agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("mx"), F.avg("d").alias("av"))
+        .first()
+    )
+    skew_ratio = float(indeg_stats["mx"]) / max(float(indeg_stats["av"]), 1e-12)
+
+    counters = Counters(skew_ratio=skew_ratio)
+    start_step = 0
+    ranks = None
+    if checkpointer is not None and resume:
+        manifest = checkpointer.latest_manifest()
+        if manifest is not None and manifest.get("params", {}).get("algorithm") == "pagerank":
+            start_step = manifest["superstep"]
+            counters = Counters.from_dict(manifest["counters"])
+            ranks = checkpointer.load_states(spark, manifest)["ranks"]
+    if ranks is None:
+        ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"), "has_out")
+    ranks = materialize(ranks)
+
+    delta = float("inf")
+    it = start_step
+    converged = False
+    base = (1.0 - damping) / n
+    while it < max_iter:
+        it += 1
+        contribs = (
+            links.join(ranks.select("id", "rank"), links.src == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("contrib"))
+        )
+        dangling = ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
+        new_ranks = (
+            ranks.join(contribs, ranks.id == contribs.dst, "left")
+            .select(
+                ranks.id,
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                F.col("has_out"),
+                F.col("rank").alias("_old"),
+            )
+        )
+        new_ranks = materialize(new_ranks)
+
+        delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("_old")))).first()[0]
+        counters.edges_scanned += m
+        counters.messages_exchanged += m
+
+        old = ranks
+        ranks = new_ranks.drop("_old")
+        if checkpointer is not None and (it % checkpoint_every == 0 or delta < tol):
+            checkpointer.save(
+                it,
+                {"ranks": ranks},
+                counters,
+                params={"algorithm": "pagerank", "damping": damping, "tol": tol, "delta": delta},
+            )
+        release(old)
+        if delta < tol:
+            converged = True
+            break
+
+    result = ranks.select("id", F.col("rank").alias("pagerank"))
+    info = {
+        "iterations": it,
+        "converged": converged,
+        "delta": float(delta),
+        "counters": counters.to_dict(),
+        "n_vertices": n,
+        "n_edges": m,
+    }
+    return result, info

@@ -1,0 +1,73 @@
+"""METIS reader parity on hand-written micro-fixtures (FIXTURES.md §6) and
+on the reference's own data files."""
+
+import os
+
+import pytest
+
+from graph_partitioning_spark.sources.metis import parse_metis, read_metis
+
+REF = "/root/reference/data"
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_fmt0_plain(tmp_path, spark):
+    # triangle + pendant: 4 nodes, 4 edges (1-based ids)
+    path = _write(tmp_path, "g0.txt", "4 4\n2 3\n1 3\n1 2 4\n3\n")
+    verts, edges = read_metis(spark, path)
+    assert {(r.id, r.weight) for r in verts.collect()} == {(0, 1.0), (1, 1.0), (2, 1.0), (3, 1.0)}
+    assert {(r.src, r.dst, r.weight) for r in edges.collect()} == {
+        (0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0),
+    }
+
+
+def test_fmt1_edge_weights(tmp_path):
+    path = _write(tmp_path, "g1.txt", "3 3 1\n2 7 3 1\n1 7 3 2\n1 1 2 2\n")
+    nodes, edges = parse_metis(path)
+    assert nodes == [(0, 1.0), (1, 1.0), (2, 1.0)]
+    assert sorted(edges) == [(0, 1, 7.0), (0, 2, 1.0), (1, 2, 2.0)]
+
+
+def test_fmt11_node_and_edge_weights(tmp_path):
+    path = _write(tmp_path, "g11.txt", "3 2 011\n5 2 4\n3 1 4 3 6\n2 2 6\n")
+    nodes, edges = parse_metis(path)
+    assert nodes == [(0, 5.0), (1, 3.0), (2, 2.0)]
+    assert sorted(edges) == [(0, 1, 4.0), (1, 2, 6.0)]
+
+
+def test_fmt10_node_weights_only(tmp_path):
+    # reference leaves this unimplemented; we parse it properly
+    path = _write(tmp_path, "g10.txt", "3 2 10\n5 2\n3 1 3\n2 2\n")
+    nodes, edges = parse_metis(path)
+    assert nodes == [(0, 5.0), (1, 3.0), (2, 2.0)]
+    assert sorted(edges) == [(0, 1, 1.0), (1, 2, 1.0)]
+
+
+def test_blank_line_and_comments(tmp_path):
+    path = _write(tmp_path, "gb.txt", "% comment\n3 1\n2\n1\n\n")
+    nodes, edges = parse_metis(path)
+    assert nodes == [(0, 1.0), (1, 1.0), (2, 1.0)]
+    assert edges == [(0, 1, 1.0)]
+
+
+def test_count_mismatch_raises(tmp_path):
+    path = _write(tmp_path, "gx.txt", "3 5\n2\n1\n\n")
+    with pytest.raises(ValueError, match="expected 5 edges"):
+        parse_metis(path)
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference data not present")
+def test_reference_fixture_counts():
+    nodes, edges = parse_metis(f"{REF}/oneshot_fennel_simple.txt")
+    assert len(nodes) == 1000
+    assert len(edges) == 2939
+    nodes_w, edges_w = parse_metis(f"{REF}/restreaming_fennel.txt")
+    assert len(nodes_w) == 1000
+    assert len(edges_w) == 2939
+    # weighted variant has non-unit weights
+    assert any(w != 1.0 for _, w in nodes_w) or any(w != 1.0 for _, _, w in edges_w)
