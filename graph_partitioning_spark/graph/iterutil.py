@@ -9,6 +9,13 @@ materialized RDD, keeping every superstep's planning cost constant. Durable
 parquet checkpoints (checkpoint.CheckpointManager) provide the
 resume/lineage guarantees on top; local checkpoints are the in-loop
 fast path.
+
+``release`` must free the *checkpointed RDD*, not just the DataFrame cache:
+``DataFrame.unpersist`` only touches the relation cache, so a long run
+would otherwise accumulate one pinned RDD per superstep until the block
+manager chokes (observed: storage-memory churn and multi-minute stalls
+after ~50 supersteps). We resolve the underlying JVM RDD out of the
+``LogicalRDD`` plan leaf and unpersist it directly.
 """
 
 from __future__ import annotations
@@ -17,14 +24,47 @@ from pyspark.sql import DataFrame
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly truncate lineage; returns a DataFrame backed by cached RDDs."""
-    return df.localCheckpoint(eager=True)
+    """Eagerly truncate lineage; returns a DataFrame backed by cached RDDs.
+
+    The persist→count→localCheckpoint dance is load-bearing:
+    ``localCheckpoint`` copies the *pre-checkpoint plan's* statistics into
+    the new ``LogicalRDD``, and ``SizeInBytesOnlyStatsPlanVisitor`` computes
+    a join's sizeInBytes as the BigInt *product* of its children. An
+    iterative plan that references its checkpointed state several times per
+    superstep therefore compounds sizeInBytes multiplicatively across
+    supersteps — after ~12 supersteps the driver spends minutes in
+    BigInteger.multiplyToomCook3 just *estimating* statistics (observed:
+    0.9 s → 60 s per superstep). Materializing the cache first makes the
+    carried stats the InMemoryRelation's real (small) byte size, so every
+    superstep's stats stay ~constant digits.
+    """
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 def release(df: DataFrame | None) -> None:
-    """Free a previously materialized/persisted state (best-effort)."""
-    if df is not None:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    """Free a previously materialized/persisted state (best-effort).
+
+    Unpersists both the DataFrame cache and, for localCheckpoint'ed frames,
+    the underlying cached RDD referenced by the LogicalRDD leaf.
+    """
+    if df is None:
+        return
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        jdf = df._jdf
+        plan = jdf.queryExecution().analyzed()
+        # walk the analyzed plan for LogicalRDD leaves and unpersist their RDDs
+        it = plan.collectLeaves().iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass

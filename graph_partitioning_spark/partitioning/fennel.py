@@ -1,0 +1,366 @@
+"""FENNEL / LDG balanced streaming partitioning as DataFrame supersteps.
+
+Semantics matched to the reference kernel
+(/root/reference/graph_partitioning/fennel.pyx):
+
+- vote mass (J1): for node v and partition p, ``votes[p] = Σ w(v,u)`` over
+  neighbors u with ``partition[u] ≥ 0``; weights ≤ 0 coerced to 1.0
+  (fennel.pyx:19-38).
+- FENNEL score: ``votes[p] − α·size[p]``, where size is the *weighted*
+  occupancy (bincount_assigned, utils.py:107-118); a node's previous
+  partition gets ``+α`` credit (fennel.pyx:83-87,102-104) — removing the
+  node before deciding to re-add it.
+- argmax with first-index tie-break: strict ``>`` scan from partition 0
+  (fennel.pyx:89-107) → smallest partition id wins ties.
+- degree-0 nodes are deferred and placed into the smallest partition
+  (fennel.pyx:133-148).
+- α schedule: ``α = m·k/n²`` recomputed from the (sub)graph being
+  partitioned (graph_partitioning.py:60,579-586); ``one_shot_alpha``
+  override supported (graph_partitioning.py:62-63).
+- LDG variant: ``votes[p] · (capacity − size[p] − w(v))`` with
+  ``capacity = Σw/k`` (graph-partitioning-ldg.ipynb cell 2); no previous-
+  partition credit, same tie-break.
+
+Execution model — the one deliberate divergence: the reference streams
+nodes one at a time, mutating ``assignments``/sizes in place, and restreams
+``num_iterations`` times. A distributed engine cannot stream sequentially,
+so each restream iteration here processes the unfixed nodes in
+``micro_batches`` deterministic id-hash buckets; within a bucket all nodes
+decide *synchronously* against the assignment snapshot, then sizes are
+refreshed before the next bucket. This is exactly the reference's own
+``restream_batches`` arrival mode (graph_partitioning.py:462-519) promoted
+to the partitioner's inner loop, and it converges to the same fixed-point
+behavior the reference measures (metrics distributions, not per-node
+placements — which are order-dependent even between two reference runs
+with different arrival files).
+
+Scale notes:
+- The votes join shuffles edges (src,dst,weight both directions) against
+  the (id, partition) table — the same J1 shape PageRank uses. Map-side
+  partial aggregation pre-combines hub traffic; AQE skew-join splits the
+  残り. ``salt_buckets > 0`` additionally salts the assignment side
+  explicitly for power-law hubs (north-star requirement).
+- Candidate pruning: a node's best partition is either one a neighbor
+  votes for, its previous partition (+α credit), or the globally smallest
+  partition (the best zero-vote score). So each node scores
+  O(assigned-neighbor-partitions) candidates, never k — the n×k candidate
+  cross-join a naive translation would do never materializes.
+- Sizes are k rows — collected to the driver and broadcast back as a
+  literal map each bucket step (k ≤ hundreds; cost is nil).
+- Assignment state is localCheckpoint'ed each bucket step (constant-size
+  plans) and durably checkpointed per restream iteration when a
+  CheckpointManager is supplied (resume mid-run).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..checkpoint import CheckpointManager, Counters
+from ..graph.edges import symmetrize
+from ..graph.iterutil import materialize, release
+
+
+@dataclass
+class FennelConfig:
+    num_partitions: int
+    num_iterations: int = 5
+    micro_batches: int = 8
+    alpha: float | None = None          # None → m·k/n² recomputed per run
+    strategy: str = "fennel"            # "fennel" | "ldg"
+    salt_buckets: int = 0               # 0 → rely on AQE skew handling
+    converge_early: bool = True
+    checkpoint_every: int = 1           # restream iterations between durable checkpoints
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def _sizes_map(assignments: DataFrame, weights: DataFrame | None, k: int) -> list[float]:
+    a = assignments.filter(F.col("partition") >= 0)
+    if weights is not None:
+        a = a.join(weights, "id", "left").withColumn(
+            "w", F.coalesce(F.col("weight"), F.lit(1.0))
+        )
+    else:
+        a = a.withColumn("w", F.lit(1.0))
+    rows = a.groupBy("partition").agg(F.sum("w").alias("s")).collect()
+    sizes = [0.0] * k
+    for r in rows:
+        sizes[r["partition"]] = float(r["s"])
+    return sizes
+
+
+def _votes(sym_edges: DataFrame, assignments: DataFrame, salt_buckets: int) -> DataFrame:
+    """(id, partition, votes) for every node with ≥1 assigned neighbor."""
+    nbr = assignments.filter(F.col("partition") >= 0).select(
+        F.col("id").alias("dst"), F.col("partition")
+    )
+    e = sym_edges.withColumn(
+        "w", F.when(F.col("weight") <= 0.0, F.lit(1.0)).otherwise(F.col("weight"))
+    )
+    if salt_buckets > 1:
+        # explicit hub salting: replicate the assignment side per salt bucket,
+        # spread each hub's edge rows across buckets by src hash
+        salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        nbr = nbr.withColumn("_salt", salts)
+        e = e.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).cast("int"))
+        joined = e.join(nbr, ["dst", "_salt"])
+    else:
+        joined = e.join(nbr, "dst")
+    return joined.groupBy(F.col("src").alias("id"), "partition").agg(
+        F.sum("w").alias("votes")
+    )
+
+
+def fennel_partition(
+    edges: DataFrame,
+    config: FennelConfig,
+    vertices: DataFrame | None = None,
+    initial: DataFrame | None = None,
+    fixed: DataFrame | None = None,
+    checkpointer: CheckpointManager | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Partition the canonical undirected ``edges`` into k balanced parts.
+
+    ``vertices``: optional (id, weight) node weights (default 1.0).
+    ``initial``: optional starting ``(id, partition)`` (e.g. a prediction
+    model); missing/−1 rows start unassigned.
+    ``fixed``: optional (id) set whose assignment in ``initial`` is frozen
+    (the reference's ``fixed`` vector, fennel.pyx:128-131).
+
+    Returns (assignments(id, partition), info).
+    """
+    spark = edges.sparkSession
+    k = config.num_partitions
+
+    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    all_ids = (
+        sym.select(F.col("src").alias("id")).distinct()
+    )
+    if vertices is not None:
+        all_ids = all_ids.join(vertices.select("id"), "id", "full").select("id").distinct()
+    weights = (
+        vertices.select("id", "weight") if vertices is not None else None
+    )
+
+    n = all_ids.count()
+    m = edges.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, partition int"), {
+            "iterations": 0, "alpha": 0.0, "counters": {}
+        }
+    alpha = config.alpha if config.alpha is not None else (m * k) / (n * n)
+    if config.strategy == "ldg":
+        if weights is not None:
+            total_w = all_ids.join(weights, "id", "left").agg(
+                F.sum(F.coalesce(F.col("weight"), F.lit(1.0)))
+            ).first()[0]
+        else:
+            total_w = float(n)
+        capacity = total_w / k
+    else:
+        capacity = None
+
+    # fixed / initial state
+    if initial is not None:
+        state = all_ids.join(initial.select("id", "partition"), "id", "left").select(
+            "id", F.coalesce(F.col("partition"), F.lit(-1)).alias("partition")
+        )
+    else:
+        state = all_ids.select("id", F.lit(-1).alias("partition"))
+    if fixed is not None:
+        fixed_ids = fixed.select("id", F.lit(True).alias("fixed"))
+        state = state.join(fixed_ids, "id", "left").select(
+            "id", "partition", F.coalesce(F.col("fixed"), F.lit(False)).alias("fixed")
+        )
+    else:
+        state = state.withColumn("fixed", F.lit(False))
+    # deterministic micro-batch bucket per node
+    # degree-0 nodes are deferred out of the stream entirely (the reference
+    # skips them and places them last, fennel.pyx:133-137) — otherwise every
+    # one of them would chase ``best_empty`` during the iterations
+    with_edges = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "_has_edge", F.lit(True)
+    )
+    state = (
+        state.join(with_edges, "id", "left")
+        .withColumn("has_edge", F.coalesce(F.col("_has_edge"), F.lit(False)))
+        .drop("_has_edge")
+    )
+    state = state.withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(config.micro_batches)).cast("int")
+    ).withColumn("_changed", F.lit(False))
+
+    counters = Counters()
+    start_iter = 0
+    if checkpointer is not None and resume:
+        manifest = checkpointer.latest_manifest()
+        if manifest is not None and manifest.get("params", {}).get("algorithm") == "fennel":
+            start_iter = manifest["superstep"]
+            counters = Counters.from_dict(manifest["counters"])
+            state = checkpointer.load_states(spark, manifest)["assignments"]
+    state = materialize(state)
+
+    deg_stats = (
+        sym.groupBy("src").agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("mx"), F.avg("d").alias("av")).first()
+    )
+    counters.skew_ratio = float(deg_stats["mx"]) / max(float(deg_stats["av"]), 1e-12)
+
+    node_w = (
+        F.coalesce(F.col("node_weight"), F.lit(1.0))
+        if weights is not None
+        else F.lit(1.0)
+    )
+
+    import os as _os
+    import time as _time
+
+    _debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG"))
+    it = start_iter
+    changed_last = -1
+    while it < config.num_iterations:
+        it += 1
+        changed_this_iter = 0
+        for b in range(config.micro_batches):
+            _t0 = _time.time()
+            sizes = _sizes_map(state, weights, k)
+            _t1 = _time.time()
+            # best zero-vote partition: smallest size, smallest index on ties
+            best_empty = min(range(k), key=lambda p: (sizes[p], p))
+            votes = _votes(sym, state, config.salt_buckets).select(
+                "id", F.col("partition").alias("vp"), "votes"
+            )
+
+            movable = state.filter(
+                (~F.col("fixed")) & (F.col("bucket") == b) & F.col("has_edge")
+            )
+            cand = movable.join(votes, "id", "left").select(
+                "id",
+                F.col("partition").alias("prev"),
+                F.coalesce(F.col("vp"), F.lit(best_empty)).alias("cand"),
+                F.coalesce(F.col("votes"), F.lit(0.0)).alias("votes"),
+            )
+            # add prev partition + best-empty as explicit candidates (0 votes
+            # unless the votes join already produced them — dedup keeps max)
+            extra_prev = movable.filter(F.col("partition") >= 0).select(
+                "id", F.col("partition").alias("prev"),
+                F.col("partition").alias("cand"), F.lit(0.0).alias("votes"),
+            )
+            extra_empty = movable.select(
+                "id", F.col("partition").alias("prev"),
+                F.lit(best_empty).alias("cand"), F.lit(0.0).alias("votes"),
+            )
+            cand = (
+                cand.unionByName(extra_prev).unionByName(extra_empty)
+                .groupBy("id", "prev", "cand")
+                .agg(F.max("votes").alias("votes"))
+            )
+            if weights is not None:
+                cand = cand.join(
+                    weights.select("id", F.col("weight").alias("node_weight")), "id", "left"
+                )
+
+            size_arr = F.array(*[F.lit(s) for s in sizes])
+            size_of_cand = F.element_at(size_arr, F.col("cand").cast("int") + 1)
+            if config.strategy == "ldg":
+                score = F.col("votes") * (F.lit(capacity) - size_of_cand - node_w)
+            else:
+                score = (
+                    F.col("votes")
+                    - F.lit(alpha) * size_of_cand
+                    + F.when(F.col("cand") == F.col("prev"), F.lit(alpha)).otherwise(F.lit(0.0))
+                )
+            pick = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cand"))
+            decided = (
+                cand.withColumn("score", score)
+                .withColumn("rn", F.row_number().over(pick))
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("cand").alias("new_partition"), "prev")
+            )
+            _t2 = _time.time()
+            # one materialization per superstep: the changed flag rides along
+            # so counting it afterwards hits the cached state, not the join
+            new_state = materialize(
+                state.join(decided, "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("new_partition"), F.col("partition")).alias("partition"),
+                    "fixed",
+                    "bucket",
+                    "has_edge",
+                    F.coalesce(
+                        F.col("new_partition") != F.col("prev"), F.lit(False)
+                    ).alias("_changed"),
+                )
+            )
+            _t3 = _time.time()
+            changed = new_state.filter(F.col("_changed")).count()
+            if _debug:
+                print(
+                    f"[fennel] iter={it} bucket={b} changed={changed} "
+                    f"sizes={_t1 - _t0:.2f} build={_t2 - _t1:.2f} "
+                    f"mat={_t3 - _t2:.2f} cnt={_time.time() - _t3:.2f}",
+                    flush=True,
+                )
+            changed_this_iter += changed
+            counters.edges_scanned += m * 2
+            counters.messages_exchanged += changed
+            release(state)
+            state = new_state
+
+        if checkpointer is not None and (
+            it % config.checkpoint_every == 0 or it == config.num_iterations
+        ):
+            checkpointer.save(
+                it,
+                {"assignments": state},
+                counters,
+                params={
+                    "algorithm": "fennel",
+                    "strategy": config.strategy,
+                    "alpha": alpha,
+                    "k": k,
+                    "changed": changed_this_iter,
+                },
+            )
+        changed_last = changed_this_iter
+        if config.converge_early and changed_this_iter == 0:
+            break
+
+    # singleton placement (degree-0, still unassigned): fill ascending-size
+    # partitions round-robin — the reference re-finds the min each placement
+    # (fennel.pyx:142-148); with a batch of singletons that is round-robin
+    # over the ascending-size order.
+    lonely = state.filter(F.col("partition") < 0)
+    if lonely.limit(1).count() > 0:
+        sizes = _sizes_map(state, weights, k)
+        order = sorted(range(k), key=lambda p: (sizes[p], p))
+        order_arr = F.array(*[F.lit(p) for p in order])
+        w_rank = Window.orderBy("id")
+        placed = lonely.withColumn(
+            "partition",
+            F.element_at(
+                order_arr, (F.pmod(F.row_number().over(w_rank) - 1, F.lit(k)) + 1).cast("int")
+            ),
+        )
+        state = materialize(
+            state.filter(F.col("partition") >= 0).unionByName(placed)
+        )
+
+    result = state.select("id", "partition")
+    info = {
+        "iterations": it,
+        "alpha": alpha,
+        "capacity": capacity,
+        "changed_last_iteration": changed_last,
+        "counters": counters.to_dict(),
+        "n_vertices": n,
+        "n_edges": m,
+    }
+    release(sym)
+    return result, info

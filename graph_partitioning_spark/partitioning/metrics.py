@@ -1,0 +1,428 @@
+"""Partition-quality metrics as pure DataFrame aggregations.
+
+Each function reproduces a reference formula exactly (cited per function);
+tests/test_metrics.py checks them against brute-force NumPy oracles that
+re-implement the reference line-for-line. All are one or two shuffles over
+the edge/assignment tables — no driver-side iteration, no Python row path —
+so they run unchanged at 10^12-edge scale (the joins are the same J1/J5
+shapes as the partitioner's own superstep and benefit from the same
+AQE skew handling).
+
+Conventions:
+- ``edges``: canonical undirected edge list (src < dst, one row per edge,
+  ``weight`` double) — the output of ``graph.edges.undirect``.
+- ``assignments``: ``(id long, partition int)``; partition −1 = unassigned
+  (the reference's UNMAPPED, /root/reference/graph_partitioning/fennel.pyx:6).
+- ``vertices`` (optional): ``(id, weight)`` node weights; absent → weight 1
+  (matches bincount_assigned's default,
+  /root/reference/graph_partitioning/utils.py:107-118).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph.edges import symmetrize
+
+
+def _weighted_vertices(assignments: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    a = assignments.select("id", "partition")
+    if vertices is None:
+        return a.withColumn("weight", F.lit(1.0))
+    return a.join(vertices.select("id", "weight"), "id", "left").withColumn(
+        "weight", F.coalesce(F.col("weight"), F.lit(1.0))
+    )
+
+
+def partition_sizes(
+    assignments: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Weighted bincount over assigned nodes → ``(partition, size)``.
+
+    Reference: ``bincount_assigned``
+    (/root/reference/graph_partitioning/utils.py:107-118) — nodes with
+    assignment < 0 excluded; missing node weight counts as 1.
+    """
+    return (
+        _weighted_vertices(assignments, vertices)
+        .filter(F.col("partition") >= 0)
+        .groupBy("partition")
+        .agg(F.sum("weight").alias("size"))
+    )
+
+
+def partition_populations(
+    assignments: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Per-partition (node count, total weight) → ``(partition, population,
+    weight)``. Reference: ``get_partition_population``
+    (/root/reference/graph_partitioning/utils.py:749-770)."""
+    return (
+        _weighted_vertices(assignments, vertices)
+        .filter(F.col("partition") >= 0)
+        .groupBy("partition")
+        .agg(F.count("*").alias("population"), F.sum("weight").alias("weight"))
+    )
+
+
+def waste(
+    assignments: DataFrame,
+    num_partitions: int,
+    vertices: DataFrame | None = None,
+    n_nodes: int | None = None,
+) -> float:
+    """``Σ_p (max(balance) − balance_p)`` with ``balance = weighted
+    bincount / n_nodes``.
+
+    Reference: ``score`` (/root/reference/graph_partitioning/utils.py:158-177):
+    balance is divided by the graph's node count (not the assigned count),
+    and *all* k partitions participate — empty partitions contribute
+    ``max(balance)`` each.
+    """
+    if n_nodes is None:
+        n_nodes = assignments.count()
+    if n_nodes == 0:
+        return 0.0
+    rows = partition_sizes(assignments, vertices).collect()
+    sizes = {r["partition"]: r["size"] for r in rows}
+    balance = [sizes.get(p, 0.0) / n_nodes for p in range(num_partitions)]
+    mx = max(balance) if balance else 0.0
+    return float(sum(mx - b for b in balance))
+
+
+def cut_metrics(edges: DataFrame, assignments: DataFrame) -> dict[str, float]:
+    """Edge-cut metrics in one pass over the edge table.
+
+    Returns ``{edges_cut, cut_ratio, total_comm_volume, n_edges}``.
+
+    - edges_cut / cut_ratio: edges whose endpoints differ, over all edges —
+      reference ``score`` mismatch (utils.py:179-186) and ``base_metrics``
+      edges_cut (utils.py:190-224; each undirected edge counted once).
+    - total_comm_volume: Σ_v |{p(u) : u ∈ N(v), p(u) ≠ p(v)}| — the
+      "communication steps" of ``base_metrics`` (utils.py:226-229), which
+      visits every edge from both endpoints.
+
+    Plan: two equi-joins (src, dst) against assignments, then one count and
+    one two-level distinct aggregation; the J5 shape from SURVEY.md §2.3.
+    """
+    a_src = assignments.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
+    a_dst = assignments.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
+    labeled = edges.select("src", "dst").join(a_src, "src").join(a_dst, "dst")
+    labeled = labeled.persist()
+    try:
+        n_edges = labeled.count()
+        cut = labeled.filter(F.col("p_src") != F.col("p_dst"))
+        edges_cut = cut.count()
+        # per-endpoint foreign-partition sets: symmetrize the cut edges so
+        # each endpoint sees its foreign neighbor's partition
+        per_node = cut.select(
+            F.col("src").alias("id"), F.col("p_dst").alias("foreign")
+        ).union(cut.select(F.col("dst").alias("id"), F.col("p_src").alias("foreign")))
+        tcv = (
+            per_node.distinct()
+            .groupBy("id")
+            .agg(F.count("*").alias("steps"))
+            .agg(F.sum("steps"))
+            .first()[0]
+            or 0
+        )
+    finally:
+        labeled.unpersist()
+    return {
+        "edges_cut": float(edges_cut),
+        "cut_ratio": float(edges_cut) / n_edges if n_edges else 0.0,
+        "total_comm_volume": float(tcv),
+        "n_edges": float(n_edges),
+    }
+
+
+def votes(edges: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Per-(node, partition) neighbor vote mass → ``(id, partition, votes)``.
+
+    The J1 join (/root/reference/graph_partitioning/fennel.pyx:19-38):
+    for each node, for each neighbor assigned to a partition ≥ 0, add the
+    edge weight (weights ≤ 0 coerced to 1.0, fennel.pyx:33-34). Votes for
+    every node appear regardless of the node's own assignment.
+    """
+    sym = symmetrize(edges)
+    nbr = assignments.select(
+        F.col("id").alias("dst"), F.col("partition").alias("nbr_partition")
+    ).filter(F.col("nbr_partition") >= 0)
+    return (
+        sym.join(nbr, "dst")
+        .groupBy(F.col("src").alias("id"), F.col("nbr_partition").alias("partition"))
+        .agg(
+            F.sum(
+                F.when(F.col("weight") <= 0.0, F.lit(1.0)).otherwise(F.col("weight"))
+            ).alias("votes")
+        )
+    )
+
+
+def rbse(edges: DataFrame, assignments: DataFrame) -> float:
+    """"Rather-be-somewhere-else": fraction of assigned nodes for which some
+    *other* partition's vote mass strictly exceeds their own partition's.
+
+    Reference: ``ratherBeSomewhereElseList`` + ``...Metric``
+    (/root/reference/graph_partitioning/utils.py:1101-1153). Nodes with no
+    neighbors have zero votes everywhere → not RBSE; unassigned nodes are
+    excluded from the denominator.
+    """
+    assigned = assignments.filter(F.col("partition") >= 0).select("id", "partition")
+    v = votes(edges, assignments)
+    own = (
+        assigned.join(
+            v.withColumnRenamed("partition", "vp"), "id", "left"
+        )
+        .groupBy("id", "partition")
+        .agg(
+            F.max(F.when(F.col("vp") == F.col("partition"), F.col("votes"))).alias("own_votes"),
+            F.max(F.when(F.col("vp") != F.col("partition"), F.col("votes"))).alias("best_other"),
+        )
+    )
+    flags = own.select(
+        (
+            F.coalesce(F.col("best_other"), F.lit(0.0))
+            > F.coalesce(F.col("own_votes"), F.lit(0.0))
+        ).cast("int").alias("rbse")
+    )
+    row = flags.agg(F.avg("rbse").alias("m"), F.count("*").alias("n")).first()
+    return float(row["m"]) if row["n"] else 0.0
+
+
+def loneliness_wavg(
+    edges: DataFrame,
+    assignments: DataFrame,
+    num_partitions: int,
+    loneliness_score_param: float = 1.2,
+) -> float:
+    """Population-weighted average of per-partition loneliness.
+
+    Per node, within its partition's *induced subgraph*:
+    ``1 − 1/(deg_intra + 1)^param``; per-partition simple average; across
+    partitions, average weighted by partition node count. Empty partitions
+    score 0 with weight 0. Reference: ``loneliness_score`` +
+    ``loneliness_score_wavg``
+    (/root/reference/graph_partitioning/utils.py:565-600).
+    """
+    assigned = assignments.filter(F.col("partition") >= 0).select("id", "partition")
+    a_src = assigned.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
+    a_dst = assigned.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
+    intra = (
+        edges.select("src", "dst")
+        .join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("p_src") == F.col("p_dst"))
+    )
+    deg = (
+        intra.select(F.col("src").alias("id")).union(intra.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    per_node = (
+        assigned.join(deg, "id", "left")
+        .withColumn("deg", F.coalesce(F.col("deg"), F.lit(0)))
+        .withColumn(
+            "score",
+            F.lit(1.0) - F.lit(1.0) / F.pow(F.col("deg") + 1.0, F.lit(loneliness_score_param)),
+        )
+    )
+    rows = (
+        per_node.groupBy("partition")
+        .agg(F.avg("score").alias("score"), F.count("*").alias("population"))
+        .collect()
+    )
+    total_pop = sum(r["population"] for r in rows)
+    if total_pop == 0:
+        return 0.0
+    return float(sum(r["score"] * r["population"] for r in rows) / total_pop)
+
+
+def modularity(edges: DataFrame, assignments: DataFrame) -> float:
+    """Newman modularity Q of the partition over the weighted undirected graph.
+
+    Q = Σ_p [ intra_p/m − (deg_p/(2m))² ] with m = total edge weight,
+    deg_p = total weighted degree of partition p. The reference delegates to
+    python-louvain's ``community.modularity``
+    (/root/reference/graph_partitioning/utils.py:469-528); this is the same
+    closed form as a DataFrame aggregation.
+    """
+    a_src = assignments.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
+    a_dst = assignments.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
+    labeled = edges.join(a_src, "src").join(a_dst, "dst").persist()
+    try:
+        m = labeled.agg(F.sum("weight")).first()[0] or 0.0
+        if m == 0:
+            return 0.0
+        intra = {
+            r["p_src"]: r["w"]
+            for r in labeled.filter(F.col("p_src") == F.col("p_dst"))
+            .groupBy("p_src")
+            .agg(F.sum("weight").alias("w"))
+            .collect()
+        }
+        deg = (
+            labeled.select(F.col("p_src").alias("p"), F.col("weight"))
+            .union(labeled.select(F.col("p_dst").alias("p"), F.col("weight")))
+            .groupBy("p")
+            .agg(F.sum("weight").alias("d"))
+            .collect()
+        )
+        q = 0.0
+        for r in deg:
+            p, d = r["p"], r["d"]
+            q += intra.get(p, 0.0) / m - (d / (2.0 * m)) ** 2
+        return float(q)
+    finally:
+        labeled.unpersist()
+
+
+def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
+    """Normalized mutual information between two labelings ``(id, label)``.
+
+    Contingency table via groupBy (k_a × k_b rows collected to the driver —
+    tiny), entropy arithmetic matching sklearn's arithmetic-mean NMI used at
+    /root/reference/graph_partitioning/graph_partitioning.py:322-339. Pairs
+    where either label < 0 are excluded (reference filters unassigned).
+    """
+    joined = (
+        labels_a.select("id", F.col("label").alias("la"))
+        .join(labels_b.select("id", F.col("label").alias("lb")), "id")
+        .filter((F.col("la") >= 0) & (F.col("lb") >= 0))
+    )
+    cont = joined.groupBy("la", "lb").agg(F.count("*").alias("c")).collect()
+    n = sum(r["c"] for r in cont)
+    if n == 0:
+        return 0.0
+    from collections import defaultdict
+
+    ra, rb = defaultdict(int), defaultdict(int)
+    for r in cont:
+        ra[r["la"]] += r["c"]
+        rb[r["lb"]] += r["c"]
+    mi = 0.0
+    for r in cont:
+        pij = r["c"] / n
+        mi += pij * math.log(pij / ((ra[r["la"]] / n) * (rb[r["lb"]] / n)))
+    ha = -sum((c / n) * math.log(c / n) for c in ra.values())
+    hb = -sum((c / n) * math.log(c / n) for c in rb.values())
+    denom = (ha + hb) / 2.0
+    if denom <= 0:
+        return 1.0 if mi == 0 else 0.0
+    return float(mi / denom)
+
+
+def fscore(
+    predicted: DataFrame, actual: DataFrame, relabel: bool = True
+) -> dict[str, float]:
+    """Weighted F1 of predicted vs actual labels, plus the improvement from
+    the best label permutation (Hungarian on the k×k confusion matrix).
+
+    Reference: ``fscores2`` (/root/reference/graph_partitioning/utils.py:869-925)
+    — weighted-average per-class F1, then ``linear_sum_assignment`` on
+    (1 − pairwise-F1) to find the best relabeling. k is small, so the
+    assignment problem runs on the driver (pure-NumPy Hungarian below; no
+    scipy dependency).
+    """
+    joined = (
+        predicted.select("id", F.col("label").alias("pred"))
+        .join(actual.select("id", F.col("label").alias("act")), "id")
+        .filter((F.col("pred") >= 0) & (F.col("act") >= 0))
+    )
+    cont = joined.groupBy("pred", "act").agg(F.count("*").alias("c")).collect()
+    if not cont:
+        return {"fscore": 0.0, "fscore_relabelled": 0.0, "improvement": 0.0}
+    import numpy as np
+
+    preds = sorted({r["pred"] for r in cont})
+    acts = sorted({r["act"] for r in cont})
+    k = max(len(preds), len(acts))
+    pi = {p: i for i, p in enumerate(preds)}
+    ai = {a: i for i, a in enumerate(acts)}
+    cm = np.zeros((k, k))
+    for r in cont:
+        cm[pi[r["pred"]], ai[r["act"]]] = r["c"]
+
+    def weighted_f1(conf):
+        n = conf.sum()
+        f1s, weights = [], []
+        for j in range(conf.shape[1]):
+            tp = conf[j, j] if j < conf.shape[0] else 0.0
+            support = conf[:, j].sum()
+            predicted_j = conf[j, :].sum() if j < conf.shape[0] else 0.0
+            prec = tp / predicted_j if predicted_j else 0.0
+            rec = tp / support if support else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            f1s.append(f1)
+            weights.append(support)
+        return float(np.average(f1s, weights=weights)) if n else 0.0
+
+    base_f1 = weighted_f1(cm)
+    if not relabel:
+        return {"fscore": base_f1, "fscore_relabelled": base_f1, "improvement": 0.0}
+
+    perm = _hungarian_max(cm)
+    relabelled = cm[perm, :]
+    best_f1 = weighted_f1(relabelled)
+    return {
+        "fscore": base_f1,
+        "fscore_relabelled": best_f1,
+        "improvement": best_f1 - base_f1,
+    }
+
+
+def _hungarian_max(cost: "np.ndarray") -> list[int]:  # noqa: F821
+    """Row permutation maximizing the trace of cost[perm, :].
+
+    k ≤ ~10 in practice (num_partitions), so exhaustive search for k ≤ 9 and
+    a greedy fallback beyond keep this dependency-free (the reference uses
+    scipy's linear_sum_assignment, utils.py:922).
+    """
+    import itertools
+
+    import numpy as np
+
+    k = cost.shape[0]
+    if k <= 9:
+        best, best_perm = -1.0, list(range(k))
+        for perm in itertools.permutations(range(k)):
+            s = sum(cost[perm[j], j] for j in range(k))
+            if s > best:
+                best, best_perm = s, list(perm)
+        return best_perm
+    remaining = set(range(k))
+    perm = [0] * k
+    for j in np.argsort(-cost.max(axis=0)):
+        i = max(remaining, key=lambda r: cost[r, j])
+        perm[j] = i
+        remaining.discard(i)
+    inv = [0] * k
+    for j, i in enumerate(perm):
+        inv[j] = i
+    return inv
+
+
+def quality_suite(
+    edges: DataFrame,
+    assignments: DataFrame,
+    num_partitions: int,
+    vertices: DataFrame | None = None,
+    loneliness_score_param: float = 1.2,
+) -> dict[str, float]:
+    """The reference's headline metric row (WASTE, CUT RATIO, EDGES CUT,
+    TOTAL COMM VOLUME, RBSE, LONELINESS, modularity Q) in one call —
+    the 12-column vector of graph-partitioning.ipynb cell 0 minus the
+    external-binary metrics (Qds/conductance/MaxPerm are reported by
+    ``modularity`` and cut metrics here; NMI/F-score need a second labeling
+    and are separate calls)."""
+    out = {"waste": waste(assignments, num_partitions, vertices)}
+    out.update(cut_metrics(edges, assignments))
+    out["rbse"] = rbse(edges, assignments)
+    out["loneliness"] = loneliness_wavg(
+        edges, assignments, num_partitions, loneliness_score_param
+    )
+    out["modularity"] = modularity(edges, assignments)
+    return out

@@ -116,3 +116,138 @@ def triangles_oracle(src, dst):
                     per[b] += 1
                     per[c] += 1
     return total, {v: c for v, c in per.items() if c > 0}
+
+
+# ---------------------------------------------------------------------------
+# Partition-metric oracles (re-implementing /root/reference/graph_partitioning/
+# utils.py line-for-line on plain adjacency dicts)
+# ---------------------------------------------------------------------------
+
+def _adj(src, dst, w):
+    """Undirected simple-graph adjacency {u: {v: weight}} (parallel edges
+    combine by sum, matching graph.edges.undirect)."""
+    adj = {}
+    for a, b, wt in zip(src.tolist(), dst.tolist(), w.tolist()):
+        if a == b:
+            continue
+        adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0.0) + wt
+        adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0.0) + wt
+    return adj
+
+
+def waste_oracle(assign, weights, num_partitions, n_nodes):
+    """utils.py:158-177: balance = weighted bincount / n; waste = sum(max-b)."""
+    import numpy as np
+    parts = [0.0] * num_partitions
+    for node, p in assign.items():
+        if p >= 0:
+            parts[p] += weights.get(node, 1.0)
+    balance = np.array(parts) / n_nodes
+    return float((balance.max() - balance).sum())
+
+
+def cut_oracle(src, dst, w, assign):
+    """utils.py:179-232: mismatch count, cut ratio, TCV (per-node distinct
+    foreign neighbor partitions)."""
+    adj = _adj(src, dst, w)
+    edges = set()
+    for a in adj:
+        for b in adj[a]:
+            edges.add((min(a, b), max(a, b)))
+    mismatch = sum(1 for a, b in edges if assign[a] != assign[b])
+    tcv = 0
+    for v in adj:
+        foreign = {assign[u] for u in adj[v] if assign[u] != assign[v]}
+        tcv += len(foreign)
+    return mismatch, mismatch / len(edges) if edges else 0.0, tcv
+
+
+def rbse_oracle(src, dst, w, assign, num_partitions):
+    """utils.py:1101-1153."""
+    adj = _adj(src, dst, w)
+    total = rbse_n = 0
+    for v, p in assign.items():
+        if p < 0:
+            continue
+        total += 1
+        scores = [0.0] * num_partitions
+        for u, wt in adj.get(v, {}).items():
+            pu = assign.get(u, -1)
+            if pu >= 0:
+                scores[pu] += wt if wt > 0 else 1.0
+        own = scores[p]
+        if any(scores[q] > own for q in range(num_partitions) if q != p):
+            rbse_n += 1
+    return rbse_n / total if total else 0.0
+
+
+def loneliness_oracle(src, dst, w, assign, num_partitions, param):
+    """utils.py:565-600: per-partition mean of 1-1/(intra_deg+1)^param,
+    population-weighted across partitions."""
+    import numpy as np
+    adj = _adj(src, dst, w)
+    nodes = list(assign.keys())
+    scores, pops = [], []
+    for p in range(num_partitions):
+        members = [v for v in nodes if assign[v] == p]
+        mset = set(members)
+        if not members:
+            scores.append(0.0)
+            pops.append(0)
+            continue
+        tot = 0.0
+        for v in members:
+            deg = sum(1 for u in adj.get(v, {}) if u in mset)
+            tot += 1 - 1.0 / (deg + 1) ** param
+        scores.append(tot / len(members))
+        pops.append(len(members))
+    if sum(pops) == 0:
+        return 0.0
+    return float(np.average(scores, weights=pops))
+
+
+def modularity_oracle(src, dst, w, assign):
+    """Newman Q over the weighted undirected simple graph."""
+    adj = _adj(src, dst, w)
+    edges = {}
+    for a in adj:
+        for b, wt in adj[a].items():
+            if a < b:
+                edges[(a, b)] = wt
+    m = sum(edges.values())
+    if m == 0:
+        return 0.0
+    deg = {}
+    intra = {}
+    for (a, b), wt in edges.items():
+        deg[assign[a]] = deg.get(assign[a], 0.0) + wt
+        deg[assign[b]] = deg.get(assign[b], 0.0) + wt
+        if assign[a] == assign[b]:
+            intra[assign[a]] = intra.get(assign[a], 0.0) + wt
+    q = 0.0
+    for p, d in deg.items():
+        q += intra.get(p, 0.0) / m - (d / (2 * m)) ** 2
+    return q
+
+
+def fennel_step_oracle(adj, node, assign, num_partitions, alpha, weights=None):
+    """fennel.pyx:19-112 for one node against a frozen snapshot: votes,
+    weighted sizes, score = votes - alpha*size (+alpha for prev), first-max."""
+    votes = [0.0] * num_partitions
+    for u, wt in adj.get(node, {}).items():
+        pu = assign.get(u, -1)
+        if pu >= 0:
+            votes[pu] += wt if wt > 0 else 1.0
+    sizes = [0.0] * num_partitions
+    for v, p in assign.items():
+        if p >= 0:
+            sizes[p] += (weights or {}).get(v, 1.0)
+    prev = assign.get(node, -1)
+    best_p, best_val = 0, None
+    for p in range(num_partitions):
+        val = votes[p] - alpha * sizes[p]
+        if p == prev:
+            val += alpha
+        if best_val is None or val > best_val:
+            best_p, best_val = p, val
+    return best_p

@@ -1,0 +1,154 @@
+"""FENNEL/LDG partitioner: formula parity, balance, cut quality, determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_partitioning_spark.graph.edges import undirect
+from graph_partitioning_spark.partitioning import (
+    FennelConfig,
+    cut_metrics,
+    fennel_partition,
+    waste,
+)
+
+from .conftest import random_edges
+from .oracles import _adj, fennel_step_oracle
+
+
+def _edges_df(spark, src, dst, w):
+    return undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    ).persist()
+
+
+def planted_graph(n_per=60, k=3, p_in=0.25, p_out=0.01, seed=5):
+    """k dense clusters, sparse between — FENNEL should find a low cut."""
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    n = n_per * k
+    for i in range(n):
+        for j in range(i + 1, n):
+            same = (i // n_per) == (j // n_per)
+            if rng.random() < (p_in if same else p_out):
+                src.append(i)
+                dst.append(j)
+    return (
+        np.array(src, dtype=np.int64),
+        np.array(dst, dtype=np.int64),
+        np.ones(len(src)),
+    )
+
+
+def test_fennel_single_step_matches_reference_formula(spark):
+    """With every other node fixed, a one-iteration/one-bucket run must make
+    exactly the per-node decision of fennel.pyx:40-112 (votes − α·size,
+    +α previous-partition credit, first-max tie-break)."""
+    src, dst, w = random_edges(40, 150, seed=21, weighted=True)
+    edges = _edges_df(spark, src, dst, w)
+    ids = sorted({int(v) for v in np.concatenate([src, dst])})
+    rng = np.random.default_rng(7)
+    k = 3
+    assign = {v: int(rng.integers(0, k)) for v in ids}
+    movable = set(list(ids)[::5])  # every 5th node is free to move
+    initial = spark.createDataFrame(list(assign.items()), "id long, partition int")
+    fixed = spark.createDataFrame([(v,) for v in ids if v not in movable], "id long")
+
+    cfg = FennelConfig(num_partitions=k, num_iterations=1, micro_batches=1, alpha=0.5)
+    result, info = fennel_partition(edges, cfg, initial=initial, fixed=fixed)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+
+    adj = _adj(src, dst, w)
+    for v in ids:
+        if v in movable:
+            want = fennel_step_oracle(adj, v, assign, k, alpha=0.5)
+            assert got[v] == want, f"node {v}: got {got[v]} want {want}"
+        else:
+            assert got[v] == assign[v]
+
+
+def test_fennel_assigns_everyone_and_balances(spark):
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=4, micro_batches=6)
+    result, info = fennel_partition(edges, cfg)
+    rows = result.collect()
+    n = len(rows)
+    assert n == 180
+    parts = [r["partition"] for r in rows]
+    assert all(0 <= p < 3 for p in parts)
+    w_metric = waste(result, 3, n_nodes=n)
+    assert w_metric < 0.35  # reasonably balanced
+
+    cm = cut_metrics(edges, result)
+    # a random 3-way cut of this graph cuts ~2/3 of edges; FENNEL must do
+    # far better on a planted-partition graph
+    assert cm["cut_ratio"] < 0.45
+
+
+def test_fennel_deterministic(spark):
+    src, dst, w = random_edges(100, 400, seed=31)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=4, num_iterations=2, micro_batches=4)
+    a1, _ = fennel_partition(edges, cfg)
+    a2, _ = fennel_partition(edges, cfg)
+    d1 = {r["id"]: r["partition"] for r in a1.collect()}
+    d2 = {r["id"]: r["partition"] for r in a2.collect()}
+    assert d1 == d2
+
+
+def test_fennel_respects_fixed(spark):
+    src, dst, w = random_edges(60, 200, seed=41)
+    edges = _edges_df(spark, src, dst, w)
+    ids = sorted({int(v) for v in np.concatenate([src, dst])})
+    frozen = {v: v % 2 for v in ids[:20]}
+    initial = spark.createDataFrame(list(frozen.items()), "id long, partition int")
+    fixed = spark.createDataFrame([(v,) for v in frozen], "id long")
+    cfg = FennelConfig(num_partitions=2, num_iterations=2, micro_batches=2)
+    result, _ = fennel_partition(edges, cfg, initial=initial, fixed=fixed)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+    for v, p in frozen.items():
+        assert got[v] == p
+
+
+def test_fennel_singletons_placed_round_robin(spark):
+    # graph plus isolated vertices supplied via the vertices table
+    src, dst, w = random_edges(30, 80, seed=51)
+    edges = _edges_df(spark, src, dst, w)
+    iso = [1000, 1001, 1002, 1003]
+    ids = sorted({int(v) for v in np.concatenate([src, dst])}) + iso
+    vertices = spark.createDataFrame([(v, 1.0) for v in ids], "id long, weight double")
+    cfg = FennelConfig(num_partitions=4, num_iterations=2, micro_batches=2)
+    result, _ = fennel_partition(edges, cfg, vertices=vertices)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+    assert set(got) == set(ids)
+    # isolated nodes all placed, spread across partitions
+    iso_parts = [got[v] for v in iso]
+    assert len(set(iso_parts)) == 4
+
+
+def test_ldg_strategy(spark):
+    src, dst, w = planted_graph(n_per=40, k=2, seed=9)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=2, num_iterations=3, micro_batches=4, strategy="ldg")
+    result, info = fennel_partition(edges, cfg)
+    rows = result.collect()
+    assert len(rows) == 80
+    assert waste(result, 2, n_nodes=80) < 0.35
+    cm = cut_metrics(edges, result)
+    assert cm["cut_ratio"] < 0.5
+
+
+def test_fennel_salted_votes_match_unsalted(spark):
+    src, dst, w = random_edges(80, 300, seed=61, weighted=True)
+    edges = _edges_df(spark, src, dst, w)
+    cfg_a = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=3, salt_buckets=0)
+    cfg_b = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=3, salt_buckets=4)
+    a, _ = fennel_partition(edges, cfg_a)
+    b, _ = fennel_partition(edges, cfg_b)
+    da = {r["id"]: r["partition"] for r in a.collect()}
+    db = {r["id"]: r["partition"] for r in b.collect()}
+    assert da == db

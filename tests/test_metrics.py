@@ -1,0 +1,106 @@
+"""Partition-quality metrics vs brute-force reference oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_partitioning_spark.graph.edges import undirect
+from graph_partitioning_spark.partitioning import metrics as M
+
+from .conftest import random_edges
+from .oracles import (
+    cut_oracle,
+    loneliness_oracle,
+    modularity_oracle,
+    rbse_oracle,
+    waste_oracle,
+)
+
+K = 4
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    src, dst, w = random_edges(120, 500, seed=11, weighted=True)
+    edges = undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    ).persist()
+    ids = np.unique(np.concatenate([src, dst]))
+    rng = np.random.default_rng(3)
+    assign = {int(v): int(rng.integers(0, K)) for v in ids}
+    weights = {int(v): float(rng.integers(1, 4)) for v in ids}
+    a_df = spark.createDataFrame(list(assign.items()), "id long, partition int").persist()
+    v_df = spark.createDataFrame(list(weights.items()), "id long, weight double").persist()
+    return edges, (src, dst, w), assign, weights, a_df, v_df, ids
+
+
+def test_waste(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    got = M.waste(a_df, K, vertices=v_df, n_nodes=len(ids))
+    want = waste_oracle(assign, weights, K, len(ids))
+    assert got == pytest.approx(want, rel=1e-9)
+    got_unw = M.waste(a_df, K, n_nodes=len(ids))
+    want_unw = waste_oracle(assign, {}, K, len(ids))
+    assert got_unw == pytest.approx(want_unw, rel=1e-9)
+
+
+def test_cut_metrics(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    got = M.cut_metrics(edges, a_df)
+    ec, cr, tcv = cut_oracle(src, dst, w, assign)
+    assert got["edges_cut"] == ec
+    assert got["cut_ratio"] == pytest.approx(cr, rel=1e-12)
+    assert got["total_comm_volume"] == tcv
+
+
+def test_rbse(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    got = M.rbse(edges, a_df)
+    want = rbse_oracle(src, dst, w, assign, K)
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_loneliness(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    got = M.loneliness_wavg(edges, a_df, K, loneliness_score_param=1.2)
+    want = loneliness_oracle(src, dst, w, assign, K, 1.2)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_modularity(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    got = M.modularity(edges, a_df)
+    want = modularity_oracle(src, dst, w, assign)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_nmi_bounds_and_identity(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    labels = a_df.select("id", F.col("partition").alias("label"))
+    assert M.nmi(labels, labels) == pytest.approx(1.0, abs=1e-9)
+    # independent random labeling → low NMI
+    rng = np.random.default_rng(99)
+    other = spark.createDataFrame(
+        [(int(v), int(rng.integers(0, K))) for v in ids], "id long, label int"
+    )
+    assert 0.0 <= M.nmi(labels, other) < 0.2
+
+
+def test_fscore_relabel_recovers_permutation(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    labels = a_df.select("id", F.col("partition").alias("label"))
+    # permute labels: relabelled F1 must return to ~1.0
+    perm = {0: 2, 1: 3, 2: 0, 3: 1}
+    permuted = a_df.select(
+        "id",
+        F.element_at(
+            F.array(*[F.lit(perm[i]) for i in range(K)]), F.col("partition") + 1
+        ).alias("label"),
+    )
+    r = M.fscore(permuted, labels)
+    assert r["fscore"] < 0.1
+    assert r["fscore_relabelled"] == pytest.approx(1.0, abs=1e-9)
+    assert r["improvement"] > 0.8
