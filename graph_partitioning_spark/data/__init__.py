@@ -1,0 +1,23 @@
+"""Large-scale training-data pipeline operators.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search over embedding columns (brute-force + bucketed ANN), text analysis
+(token counts, quality scores, language id, fingerprints), and multimodal
+binary-column plumbing. All hot paths are JVM-side built-ins / higher-order
+functions; Python appears only in the Arrow-batched multimodal UDFs.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import brute_force_topk, bucketed_topk  # noqa: F401
+from .textstats import (  # noqa: F401
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)

@@ -1,0 +1,266 @@
+"""Deduplication operators over a ``documents(doc_id, text)`` table.
+
+Four families, all shuffle-conscious:
+
+- **exact**: md5 grouping — one hash-aggregate, the canonical first pass.
+- **n-gram Jaccard**: exact pairwise Jaccard over character-shingle sets,
+  computed by *inverted-index self-join on shingle* (explode → join →
+  count), never a cross join: candidate pairs are only documents sharing
+  ≥1 shingle, so the shuffle is Σ postings², not n². At web scale the
+  postings list of a stop-shingle is capped (``max_postings``) exactly like
+  a search engine drops stopwords — a documented recall trade.
+- **MinHash + LSH**: per-seed signature = min md5(seed‖shingle) (md5 is
+  portable across Spark and DuckDB, so the driver oracle can recompute
+  signatures bit-for-bit); bands of r rows are hashed to buckets; pairs
+  sharing a band bucket are candidates. O(n·seeds) work, O(bucket²) pair
+  expansion.
+- **SimHash**: 32-bit signature from per-token md5 bits weighted by term
+  frequency; near-dups = signatures within ``max_hamming``. The signature
+  is computed with higher-order functions (transform/aggregate) fully
+  JVM-side.
+
+The reference's dedup analogue is its duplicate-edge overwrite on load
+(nx.Graph re-add semantics, /root/reference/graph_partitioning/utils.py:93-99);
+these operators are the training-data-pipeline generalization the north
+star asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups with >1 identical text → (keep_id, dup_count, members).
+
+    keep_id = smallest doc_id of the group (deterministic survivor).
+    """
+    return (
+        documents.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select("keep_id", "dup_count", "members")
+    )
+
+
+def _shingles(text_col: str, k: int):
+    """Distinct character k-shingles of the casefolded, space-collapsed text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    n = F.length(norm)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: norm.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.array(norm))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs → (a, b, jaccard) with a < b.
+
+    Inverted-index plan: doc→shingle postings, self-join on shingle,
+    count shared shingles per pair, Jaccard = |∩| / (|A|+|B|−|∩|).
+    ``max_postings`` drops shingles shared by more than that many docs
+    (frequency-capped inverted index — the standard web-scale guard against
+    quadratic blowup on boilerplate shingles).
+    """
+    sh = documents.select(
+        F.col(id_col).alias("doc"), F.explode(_shingles(text_col, k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if max_postings is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_postings)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    a = sh.select(F.col("doc").alias("a"), "shingle")
+    b = sh.select(F.col("doc").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — per-seed min of md5(seed‖shingle).
+
+    md5-hex-string minhash keeps the signature portable: DuckDB computes the
+    identical strings, so the driver's oracle can verify signatures exactly.
+    """
+    shingles = _shingles(text_col, k)
+
+    def _minhash(seed: int):
+        prefix = F.lit(f"seed{seed}:")
+        # NB: single-parameter lambda — a 2-arg lambda would be bound to
+        # (element, index) by Spark's higher-order transform
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(prefix, s).cast("binary")))
+        )
+
+    sig = F.array(*[_minhash(h) for h in range(num_hashes)])
+    return documents.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a, b, n_bands) with a < b.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; band
+    key = md5 of the concatenated band slice; documents sharing a band key
+    are candidates. n_bands = number of agreeing bands (ranking signal).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, k, text_col, id_col)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col("sig")[bi * r + j] for j in range(r)]).cast(
+                                "binary"
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = band_rows.select(F.col("doc_id").alias("a"), "band", "key")
+    right = band_rows.select(F.col("doc_id").alias("b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(
+    documents: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash: long) — token-frequency-weighted SimHash.
+
+    Per word token: 32-bit hash from the first 8 hex chars of md5(token);
+    each bit contributes +tf or −tf; signature bit = 1 where the sum > 0.
+    All higher-order-function arithmetic, JVM-side.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != ""
+    )
+    tf = documents.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w")).groupBy(
+        "doc_id", "w"
+    ).agg(F.count("*").alias("tf"))
+    h32 = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("long")
+    withbits = tf.select("doc_id", "tf", h32.alias("h"))
+    contribs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = withbits.groupBy("doc_id").agg(*contribs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else (sig + term)
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with simhash Hamming distance ≤ max_hamming (a < b, distance).
+
+    Banding on 4 byte-chunks of the signature (pigeonhole: distance ≤ 3 →
+    at least one identical chunk) keeps this a bucket join, not a cross
+    join.
+    """
+    sigs = simhash(documents, bits, text_col, id_col)
+    chunks = 4
+    cb = bits // chunks
+    mask = (1 << cb) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * cb).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    left = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "chunk", "key")
+    right = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "chunk", "key")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,199 @@
+"""Training-data operators: dedup, similarity, textstats, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_partitioning_spark.data import (
+    brute_force_topk,
+    bucketed_topk,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    token_counts,
+)
+from graph_partitioning_spark.data.dedup import simhash_near_pairs
+from graph_partitioning_spark.data.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    synthesize_media,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumped over the lazy dog"),         # near dup
+    (3, "completely different content about spark engines"),
+    (4, "der hund und die katze sind mit der maus"),             # German
+    (5, "le chat est dans la maison pour le moment"),            # French
+    (6, "the quick brown fox jumps over the lazy dog today"),    # near dup
+    (7, "zzz qqq www eee rrr"),                                  # junk
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+
+
+def _py_shingles(text, k=5):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(norm) >= k:
+        return {norm[i : i + k] for i in range(len(norm) - k + 1)}
+    return {norm}
+
+
+def test_exact_duplicates(spark, docs):
+    rows = exact_duplicates(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["keep_id"] == 0
+    assert rows[0]["dup_count"] == 2
+    assert rows[0]["members"] == [0, 1]
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.3).collect()
+    }
+    # brute-force python
+    want = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                want[(ida, idb)] = round(j, 6)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], abs=1e-6)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signatures
+    # python oracle for one signature slot
+    want0 = min(
+        hashlib.md5(("seed0:" + s).encode()).hexdigest() for s in _py_shingles(DOCS[0][1])
+    )
+    assert sigs[0][0] == want0
+
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (0, 6) in pairs  # near dups surface
+    assert (3, 7) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_token_counts_and_quality(spark, docs):
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[0]["n_words"] == len(DOCS[0][1].split())
+    assert tc[0]["n_chars_measured"] == len(DOCS[0][1])
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    words = DOCS[0][1].split()
+    stop = {"the", "and", "of", "to", "a", "in", "is", "that", "for", "with"}
+    want_stop = sum(1 for w in words if w.lower() in stop) / len(words)
+    assert q[0]["stopword_ratio"] == pytest.approx(want_stop, abs=1e-6)
+    assert q[0]["quality"] > q[7]["quality"]  # english prose beats junk
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+    assert got[7] == "und"
+
+
+def test_fingerprint(spark, docs):
+    rows = {r["doc_id"]: r for r in fingerprint(docs).collect()}
+    assert rows[0]["fp_md5"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert rows[0]["fp_md5"] == rows[1]["fp_md5"]
+    assert rows[0]["fp_first_shingle"] == min(
+        hashlib.md5(s.encode()).hexdigest() for s in _py_shingles(DOCS[0][1])
+    )
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(10, 8))
+    rows = []
+    for i in range(50):
+        label = i % 10
+        v = base[label] + rng.normal(scale=0.1, size=8)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df.persist(), rows
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    df, rows = embeddings
+    queries = df.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(df, queries, top_k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    vecs = {i: np.array(v, dtype=np.float64) for i, v, _ in rows}
+    for qid in range(3):
+        sims = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            q = vecs[qid]
+            c = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            sims.append((round(c, 6), -nid, nid))
+        sims.sort(reverse=True)
+        want = [nid for _, _, nid in sims[:4]]
+        got_ids = [nid for _, nid, _ in sorted(by_q[qid])]
+        assert got_ids == want, f"query {qid}"
+
+
+def test_bucketed_topk_stays_in_bucket(spark, embeddings):
+    df, rows = embeddings
+    queries = df.filter(F.col("vec_id") < 3)
+    got = bucketed_topk(df, queries, top_k=3).collect()
+    label_of = {i: lb for i, _, lb in rows}
+    for r in got:
+        assert label_of[r["neighbor_id"]] == label_of[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, 20)
+    feats = extract_features(media, fake_decode=True).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, fake_decode=True).collect()}
+    first = {r["media_id"]: r["feature"] for r in feats}
+    assert first == again
+
+
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+    a = decode_image(b"abc", fake=True)
+    b = decode_image(b"abc", fake=True)
+    assert a.shape == (8, 8, 3) and (a == b).all()
