@@ -1,38 +1,752 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver's
+parquet tables; ``oracle_sql()`` gives the DuckDB-checkable ANSI-SQL twin
+of each query. The link graph for the graph-analytics queries is the
+**part co-purchase graph** derived deterministically from ``lineitem``:
+vertices are parts, an undirected edge joins two parts appearing in the
+same order, weight = number of shared orders. Every aggregate column is
+identically aliased on both sides; floats are rounded on both sides to
+absorb summation-order noise.
+
+Iterative queries are driver-checkable two ways:
+- bounded forms (``pagerank5``, ``labelprop4``) run a fixed superstep count
+  that chained SQL CTEs reproduce exactly;
+- ``components`` runs to convergence and is checked against a recursive-CTE
+  reachability oracle;
+- genuinely order-dependent ops (FENNEL) are exposed rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_partitioning_spark.data import (
+    brute_force_topk,
+    bucketed_topk,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    token_counts,
+)
+from graph_partitioning_spark.graph import (
+    connected_components,
+    degrees,
+    label_propagation,
+    pagerank,
+    triangle_count_per_vertex,
+    triangle_triples,
+)
+from graph_partitioning_spark.graph.edges import symmetrize
+from graph_partitioning_spark.partitioning import (
+    FennelConfig,
+    cut_metrics,
+    fennel_partition,
+    loneliness_wavg,
+    modularity,
+    rbse,
+    waste,
+)
+
+K_PARTS = 8  # partition count for the hash-assignment metric queries
+
+_EDGE_CACHE: dict[str, DataFrame] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected part co-purchase edges (src < dst, weight)."""
+    key = f"{sf_dir}::edges"
+    if key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .persist()
+    )
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
+def _hash_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic assignment partition = id mod K for metric queries."""
+    e = copurchase_edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    return verts.select("id", (F.col("id") % K_PARTS).cast("int").alias("partition"))
+
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL fragments
+# ---------------------------------------------------------------------------
+
+EDGES_CTE = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, weight FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM edges
+),
+verts AS (SELECT DISTINCT src AS id FROM sym)
+"""
+
+ASSIGN_EXPR = f"CAST(id % {K_PARTS} AS INT)"
+
+
+def _pagerank_cte(iters: int) -> str:
+    """r0..rN chained CTEs: uniform init, d=0.85, symmetric graph (no
+    dangling mass)."""
+    parts = [
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM sym GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM verts)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT s.dst AS id,
+         0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.rank / d.outdeg) AS rank
+  FROM sym s JOIN r{i-1} r ON s.src = r.id JOIN deg d ON d.id = s.src
+  GROUP BY s.dst
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _lpa_cte(iters: int) -> str:
+    parts = ["l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT s.src AS id, l.label, SUM(s.weight) AS v
+  FROM sym s JOIN l{i-1} l ON l.id = s.dst
+  GROUP BY s.src, l.label
+),
+l{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_SHINGLE_CTE = """
+norm_docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+shingle_lists AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) >= 5
+              THEN list_distinct(list_transform(range(1, length(norm) - 3),
+                                                i -> substr(norm, i::INT, 5)))
+              ELSE [norm] END AS shingles
+  FROM norm_docs
+),
+shingles AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists
+)
+"""
+
+_WORDS_EXPR = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+)
+
+_STOP = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "von", "zu", "ein", "ist", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "de", "un", "es", "para", "en", "que"],
+    "it": ["il", "la", "di", "e", "un", "per", "che", "con", "del", "si"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_edges(spark, sf_dir):
+    return copurchase_edges(spark, sf_dir)
+
+
+def q_part_degrees(spark, sf_dir):
+    return degrees(copurchase_edges(spark, sf_dir))
+
+
+def q_top_copurchase(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    return e.orderBy(F.desc("weight"), F.asc("src"), F.asc("dst")).limit(10)
+
+
+def q_pagerank5(spark, sf_dir):
+    e = symmetrize(copurchase_edges(spark, sf_dir))
+    ranks, _ = pagerank(e, damping=0.85, tol=0.0, max_iter=5)
+    return ranks.select("id", F.round("pagerank", 9).alias("rank"))
+
+
+def q_components(spark, sf_dir):
+    comp, _ = connected_components(copurchase_edges(spark, sf_dir))
+    return comp.select("id", "component")
+
+
+def q_labelprop4(spark, sf_dir):
+    labels, _ = label_propagation(copurchase_edges(spark, sf_dir), max_iter=4)
+    return labels.select("id", "label")
+
+
+def q_triangles(spark, sf_dir):
+    t = triangle_triples(copurchase_edges(spark, sf_dir))
+    arr = F.array_sort(F.array("a", "b", "c"))
+    return t.select(
+        arr[0].alias("a"), arr[1].alias("b"), arr[2].alias("c")
+    )
+
+
+def q_triangle_counts(spark, sf_dir):
+    return triangle_count_per_vertex(copurchase_edges(spark, sf_dir))
+
+
+def q_triangle_total(spark, sf_dir):
+    t = triangle_triples(copurchase_edges(spark, sf_dir))
+    return t.agg(F.count("*").alias("n_triangles"))
+
+
+def q_cut_quality(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    a = _hash_assignments(spark, sf_dir)
+    n = a.count()
+    cm = cut_metrics(e, a)
+    w = waste(a, K_PARTS, n_nodes=n)
+    return spark.createDataFrame(
+        [
+            (
+                round(w, 6),
+                int(cm["edges_cut"]),
+                round(cm["cut_ratio"], 6),
+                int(cm["total_comm_volume"]),
+            )
+        ],
+        "waste double, edges_cut long, cut_ratio double, tcv long",
+    )
+
+
+def q_rbse(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    a = _hash_assignments(spark, sf_dir)
+    return spark.createDataFrame([(round(rbse(e, a), 6),)], "rbse double")
+
+
+def q_loneliness(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    a = _hash_assignments(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(loneliness_wavg(e, a, K_PARTS, 1.2), 6),)], "loneliness double"
+    )
+
+
+def q_modularity(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    a = _hash_assignments(spark, sf_dir)
+    return spark.createDataFrame([(round(modularity(e, a), 6),)], "modularity double")
+
+
+def q_fennel_partition(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    assign, _ = fennel_partition(
+        e, FennelConfig(num_partitions=K_PARTS, num_iterations=2, micro_batches=4)
+    )
+    return assign
+
+
+def q_fennel_quality(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    assign, info = fennel_partition(
+        e, FennelConfig(num_partitions=K_PARTS, num_iterations=2, micro_batches=4)
+    )
+    cm = cut_metrics(e, assign)
+    w = waste(assign, K_PARTS, n_nodes=assign.count())
+    return spark.createDataFrame(
+        [(round(w, 6), round(cm["cut_ratio"], 6), int(cm["edges_cut"]))],
+        "waste double, cut_ratio double, edges_cut long",
+    )
+
+
+def q_doc_tokens(spark, sf_dir):
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    return quality_scores(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_langid(spark, sf_dir):
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_read(spark, sf_dir, "documents")).select(
+        "keep_id", "dup_count"
+    )
+
+
+def q_near_dup_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), k=5, threshold=0.5
+    )
+
+
+def q_minhash(spark, sf_dir):
+    sigs = minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=16, k=5)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(
+        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_read(spark, sf_dir, "documents"), bits=32)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, top_k=5)
+
+
+def q_ann_bucketed(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return bucketed_topk(emb, queries, top_k=5)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the co-purchase link graph at sf0.001."""
+    return q_pagerank5(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "copurchase_edges": q_copurchase_edges,
+        "part_degrees": q_part_degrees,
+        "top_copurchase": q_top_copurchase,
+        "pagerank5": q_pagerank5,
+        "components": q_components,
+        "labelprop4": q_labelprop4,
+        "triangles": q_triangles,
+        "triangle_counts": q_triangle_counts,
+        "triangle_total": q_triangle_total,
+        "cut_quality": q_cut_quality,
+        "rbse": q_rbse,
+        "loneliness": q_loneliness,
+        "modularity": q_modularity,
+        "fennel_partition": q_fennel_partition,
+        "fennel_quality": q_fennel_quality,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "near_dup_jaccard": q_near_dup_jaccard,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_bucketed": q_ann_bucketed,
+        "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = sorted(_STOP)
+    lang_hits = ", ".join(
+        f"len(list_filter(w, x -> list_contains({_sql_list(_STOP[lg])}, x))) AS s_{lg}"
+        for lg in langs
+    )
+    best_hits = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred_chain = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best_hits} AND {best_hits} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+
+    en_stop = _sql_list(_STOP["en"])
+
+    return {
+        "copurchase_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
+        "part_degrees": f"""WITH {EDGES_CTE}
+SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src""",
+        "top_copurchase": f"""WITH {EDGES_CTE}
+SELECT src, dst, weight FROM edges ORDER BY weight DESC, src, dst LIMIT 10""",
+        "pagerank5": f"""WITH {EDGES_CTE},
+{_pagerank_cte(5)}
+SELECT id, ROUND(rank, 9) AS rank FROM r5""",
+        "components": f"""WITH RECURSIVE {EDGES_CTE},
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id""",
+        "labelprop4": f"""WITH {EDGES_CTE},
+{_lpa_cte(4)}
+SELECT id, label FROM l4""",
+        "triangles": f"""WITH {EDGES_CTE}
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "triangle_counts": f"""WITH {EDGES_CTE},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pv AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT id, COUNT(*) AS triangles FROM pv GROUP BY id""",
+        "triangle_total": f"""WITH {EDGES_CTE}
+SELECT COUNT(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "cut_quality": f"""WITH {EDGES_CTE},
+assign AS (SELECT id, {ASSIGN_EXPR} AS p FROM verts),
+labeled AS (
+  SELECT e.src, e.dst, a1.p AS p_src, a2.p AS p_dst
+  FROM edges e JOIN assign a1 ON a1.id = e.src JOIN assign a2 ON a2.id = e.dst
+),
+cut AS (SELECT * FROM labeled WHERE p_src <> p_dst),
+sizes AS (SELECT p, COUNT(*) AS sz FROM assign GROUP BY p),
+bal AS (
+  SELECT MAX(sz * 1.0 / (SELECT COUNT(*) FROM verts)) AS mx,
+         SUM(sz * 1.0 / (SELECT COUNT(*) FROM verts)) AS tot,
+         COUNT(*) AS k FROM sizes
+),
+tcv AS (
+  SELECT COALESCE(SUM(steps), 0)::BIGINT AS v FROM (
+    SELECT id, COUNT(DISTINCT foreign_p) AS steps FROM (
+      SELECT src AS id, p_dst AS foreign_p FROM cut
+      UNION
+      SELECT dst AS id, p_src AS foreign_p FROM cut
+    ) GROUP BY id
+  )
+)
+SELECT ROUND({K_PARTS} * (SELECT mx FROM bal) - (SELECT tot FROM bal), 6) AS waste,
+       (SELECT COUNT(*) FROM cut) AS edges_cut,
+       ROUND((SELECT COUNT(*) FROM cut) * 1.0 / (SELECT COUNT(*) FROM labeled), 6) AS cut_ratio,
+       (SELECT v FROM tcv) AS tcv""",
+        "rbse": f"""WITH {EDGES_CTE},
+votes AS (
+  SELECT s.src AS id, CAST(s.dst % {K_PARTS} AS INT) AS p, SUM(s.weight) AS v
+  FROM sym s GROUP BY 1, 2
+),
+per AS (
+  SELECT id,
+         MAX(CASE WHEN p = {ASSIGN_EXPR} THEN v END) AS own,
+         MAX(CASE WHEN p <> {ASSIGN_EXPR} THEN v END) AS best_other
+  FROM votes GROUP BY id
+)
+SELECT ROUND(AVG(CASE WHEN COALESCE(best_other, 0) > COALESCE(own, 0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS rbse
+FROM per""",
+        "loneliness": f"""WITH {EDGES_CTE},
+intra AS (
+  SELECT src, dst FROM edges
+  WHERE CAST(src % {K_PARTS} AS INT) = CAST(dst % {K_PARTS} AS INT)
+),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT src AS id FROM intra UNION ALL SELECT dst FROM intra
+  ) GROUP BY id
+),
+per_node AS (
+  SELECT v.id, CAST(v.id % {K_PARTS} AS INT) AS p,
+         1.0 - 1.0 / POW(COALESCE(d.d, 0) + 1.0, 1.2) AS score
+  FROM verts v LEFT JOIN deg d ON d.id = v.id
+),
+per_part AS (
+  SELECT p, AVG(score) AS score, COUNT(*) AS pop FROM per_node GROUP BY p
+)
+SELECT ROUND(SUM(score * pop) / SUM(pop), 6) AS loneliness FROM per_part""",
+        "modularity": f"""WITH {EDGES_CTE},
+labeled AS (
+  SELECT weight,
+         CAST(src % {K_PARTS} AS INT) AS p_src,
+         CAST(dst % {K_PARTS} AS INT) AS p_dst
+  FROM edges
+),
+m AS (SELECT SUM(weight) AS m FROM labeled),
+intra AS (SELECT p_src AS p, SUM(weight) AS w FROM labeled WHERE p_src = p_dst GROUP BY p_src),
+deg AS (
+  SELECT p, SUM(weight) AS d FROM (
+    SELECT p_src AS p, weight FROM labeled UNION ALL SELECT p_dst, weight FROM labeled
+  ) GROUP BY p
+)
+SELECT ROUND(SUM(COALESCE(i.w, 0) / (SELECT m FROM m)
+           - POW(d.d / (2 * (SELECT m FROM m)), 2)), 6) AS modularity
+FROM deg d LEFT JOIN intra i ON i.p = d.p""",
+        "doc_tokens": """SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))::INT AS n_words,
+  (len(list_filter(string_split(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'), ' '), w -> w <> ''))
+    + len(list_filter(string_split(regexp_replace(text, '[^0-9]+', ' ', 'g'), ' '), w -> w <> ''))
+    + length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')))::INT AS n_bpe_tokens,
+  length(text)::INT AS n_chars_measured
+FROM documents""",
+        "doc_quality": f"""WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         length(text)::INT AS n_chars_measured,
+         len(w)::INT AS n_words,
+         CASE WHEN len(w) > 0
+              THEN list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(w) > 0
+              THEN len(list_filter(w, x -> list_contains({en_stop}, lower(x)))) * 1.0 / len(w)
+              ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars_measured, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(0.4 * least(n_words / 100.0, 1.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
+FROM s""",
+        "doc_langid": f"""WITH base AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS w
+  FROM documents
+),
+hits AS (SELECT doc_id, {lang_hits} FROM base)
+SELECT doc_id, {pred_chain} AS pred_lang, CAST({best_hits} AS INT) AS pred_hits FROM hits""",
+        "doc_fingerprints": """WITH n AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       md5(norm) AS fp_norm_md5,
+       CASE WHEN length(norm) >= 5
+            THEN list_min(list_transform(range(1, length(norm) - 3),
+                                         i -> md5(substr(norm, i::INT, 5))))
+            ELSE md5(norm) END AS fp_first_shingle
+FROM n""",
+        "dedup_exact": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""",
+        "near_dup_jaccard": f"""WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5""",
+        "minhash": f"""WITH {_SHINGLE_CTE}
+SELECT s.doc_id, seeds.seed::INT AS seed,
+       MIN(md5('seed' || seeds.seed || ':' || s.shingle)) AS minhash
+FROM shingles s CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+GROUP BY 1, 2""",
+        "lsh_pairs": f"""WITH {_SHINGLE_CTE},
+mh AS (
+  SELECT s.doc_id, seeds.seed::INT AS seed,
+         MIN(md5('seed' || seeds.seed || ':' || s.shingle)) AS minhash
+  FROM shingles s CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // 4
+)
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+GROUP BY 1, 2""",
+        "simhash": """WITH tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY doc_id, w
+),
+h AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b::INT) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id""",
+        "ann_topk": """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM q CROSS JOIN emb c WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        "ann_bucketed": """WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label, v AS qv FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM q JOIN emb c ON q.label = c.label AND q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        "events_hourly": """SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "user_sessions": """WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, SUM(new_session)::BIGINT AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id""",
+        "tpch_q1": """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """SELECT n_name,
+       ROUND(SUM(o_totalprice), 4) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    }

@@ -9,4 +9,8 @@ from .edges import (  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .components import connected_components  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
-from .triangles import triangle_count, triangle_count_per_vertex  # noqa: F401
+from .triangles import (  # noqa: F401
+    triangle_count,
+    triangle_count_per_vertex,
+    triangle_triples,
+)
