@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_partitioning_spark.data.dedup import MINHASH_PRIME, minhash_params
 from graph_partitioning_spark.data import (
     brute_force_topk,
     bucketed_topk,
@@ -179,6 +180,10 @@ shingles AS (
 
 _WORDS_EXPR = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+)
+
+_SEED_VALUES = ", ".join(
+    f"({h}, {a}::BIGINT, {b}::BIGINT)" for h, (a, b) in enumerate(minhash_params(16))
 )
 
 _STOP = {
@@ -653,21 +658,27 @@ inter AS (
 SELECT i.a, i.b, ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5""",
-        "minhash": f"""WITH {_SHINGLE_CTE}
-SELECT s.doc_id, seeds.seed::INT AS seed,
-       MIN(md5('seed' || seeds.seed || ':' || s.shingle)) AS minhash
-FROM shingles s CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-GROUP BY 1, 2""",
+        "minhash": f"""WITH {_SHINGLE_CTE},
+base AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS base FROM shingles
+),
+seeds(seed, a, b) AS (VALUES {_SEED_VALUES})
+SELECT doc_id, seed::INT AS seed,
+       MIN((a * base + b) % {MINHASH_PRIME})::BIGINT AS minhash
+FROM base CROSS JOIN seeds GROUP BY 1, 2""",
         "lsh_pairs": f"""WITH {_SHINGLE_CTE},
+base AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS base FROM shingles
+),
+seeds(seed, a, b) AS (VALUES {_SEED_VALUES}),
 mh AS (
-  SELECT s.doc_id, seeds.seed::INT AS seed,
-         MIN(md5('seed' || seeds.seed || ':' || s.shingle)) AS minhash
-  FROM shingles s CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-  GROUP BY 1, 2
+  SELECT doc_id, seed::INT AS seed,
+         MIN((a * base + b) % {MINHASH_PRIME})::BIGINT AS minhash
+  FROM base CROSS JOIN seeds GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(minhash, '|' ORDER BY seed)) AS key
+         md5(string_agg(minhash::VARCHAR, '|' ORDER BY seed)) AS key
   FROM mh GROUP BY doc_id, seed // 4
 )
 SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands

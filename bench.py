@@ -1,0 +1,104 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "pagerank": {...}}
+
+The ``pagerank`` block carries the BASELINE.json headline figure —
+edges-processed/sec per superstep for PageRank run to 1e-6 convergence on
+the co-purchase link graph — plus superstep counters. Scaling-efficiency
+evidence (same job at two parallelism levels) is produced by
+``tools/bench_scaling.py`` and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+    from graph_partitioning_spark.graph import pagerank
+    from graph_partitioning_spark.graph.edges import symmetrize
+    from graph_partitioning_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        sys.stderr.write(f"[bench] {name}: {n} rows in {timings[name]}s\n")
+
+    # warm the shared edge table once (cached by the entry module) so
+    # per-query numbers measure the operator, not the shared scan
+    t0 = time.time()
+    edges = entry.copurchase_edges(spark, sf_dir)
+    m = edges.count()
+    edge_build = round(time.time() - t0, 3)
+    timings["edge_build"] = edge_build
+
+    qs = entry.queries()
+    for name in [
+        "part_degrees",
+        "pagerank5",
+        "components",
+        "labelprop4",
+        "triangle_total",
+        "cut_quality",
+        "fennel_quality",
+        "doc_quality",
+        "doc_langid",
+        "minhash",
+        "lsh_pairs",
+        "simhash",
+        "ann_topk",
+        "events_hourly",
+        "user_sessions",
+        "tpch_q1",
+    ]:
+        run(name, qs[name])
+
+    # headline: PageRank to 1e-6 convergence, edges/sec per superstep
+    t0 = time.time()
+    sym = symmetrize(edges)
+    ranks, info = pagerank(sym, damping=0.85, tol=1e-6, max_iter=60)
+    ranks.count()
+    pr_wall = time.time() - t0
+    iters = max(info["iterations"], 1)
+    directed_m = 2 * m
+    edges_per_sec_per_superstep = directed_m * iters / pr_wall
+    timings["pagerank_converged"] = round(pr_wall, 3)
+
+    result = {
+        "metric": "headline query wall-clock at sf (see queries); pagerank block = edges/sec/superstep to 1e-6",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "pagerank": {
+            "n_edges_directed": directed_m,
+            "iterations": info["iterations"],
+            "converged": info["converged"],
+            "wall_sec": round(pr_wall, 3),
+            "edges_per_sec_per_superstep": round(edges_per_sec_per_superstep, 1),
+            "skew_ratio": info["counters"].get("skew_ratio"),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

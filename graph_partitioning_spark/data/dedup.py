@@ -115,6 +115,18 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-mix constants per seed. a < 2^30 keeps
+    a·base < 2^62 (no int64 overflow for base < 2^32, ANSI-safe)."""
+    return [
+        ((1000003 * (h + 1) + 12345) % (1 << 30) | 1, (40503 * (h + 1) + 7) % MINHASH_PRIME)
+        for h in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -122,23 +134,32 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig: array<string>) — per-seed min of md5(seed‖shingle).
+    """(doc_id, sig: array<long>) — per-seed min of an affine mix of the
+    shingle's base hash.
 
-    md5-hex-string minhash keeps the signature portable: DuckDB computes the
-    identical strings, so the driver's oracle can verify signatures exactly.
+    base(shingle) = first 8 hex chars of md5 as int (portable: DuckDB
+    computes the identical value), h_i = (a_i·base + b_i) mod (2^31−1).
+    One md5 per shingle total; the 16 mixes are integer multiply-adds.
+
+    Plan: explode shingles once, all seed-mins as flat agg columns — the
+    map-side combine shrinks the shuffle to num_hashes longs per document
+    regardless of shingle count.
     """
-    shingles = _shingles(text_col, k)
-
-    def _minhash(seed: int):
-        prefix = F.lit(f"seed{seed}:")
-        # NB: single-parameter lambda — a 2-arg lambda would be bound to
-        # (element, index) by Spark's higher-order transform
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(prefix, s).cast("binary")))
-        )
-
-    sig = F.array(*[_minhash(h) for h in range(num_hashes)])
-    return documents.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, k)).alias("shingle")
+    )
+    base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    sh = sh.select("doc_id", base.alias("base"))
+    mins = [
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{h}")
+        for h, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(

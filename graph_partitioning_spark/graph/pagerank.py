@@ -91,6 +91,9 @@ def pagerank(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    import time as _t
+
+    _prep0 = _t.time()
     links, vertices = _prepare(edges, weighted, num_partitions)
     m = links.count()
     n = vertices.count()
@@ -106,6 +109,8 @@ def pagerank(
     skew_ratio = float(indeg_stats["mx"]) / max(float(indeg_stats["av"]), 1e-12)
 
     counters = Counters(skew_ratio=skew_ratio)
+    _prep_sec = _t.time() - _prep0
+    _loop0 = _t.time()
     start_step = 0
     ranks = None
     if checkpointer is not None and resume:
@@ -122,14 +127,20 @@ def pagerank(
     it = start_step
     converged = False
     base = (1.0 - damping) / n
+    import os as _os
+    import time as _time
+
+    _debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG"))
     while it < max_iter:
         it += 1
+        _t0 = _time.time()
         contribs = (
             links.join(ranks.select("id", "rank"), links.src == F.col("id"))
             .groupBy("dst")
             .agg(F.sum(F.col("share") * F.col("rank")).alias("contrib"))
         )
         dangling = ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
+        _t1 = _time.time()
         new_ranks = (
             ranks.join(contribs, ranks.id == contribs.dst, "left")
             .select(
@@ -144,8 +155,15 @@ def pagerank(
             )
         )
         new_ranks = materialize(new_ranks)
+        _t2 = _time.time()
 
         delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("_old")))).first()[0]
+        if _debug:
+            print(
+                f"[pagerank] iter={it} dangling={_t1 - _t0:.2f}s "
+                f"mat={_t2 - _t1:.2f}s delta_agg={_time.time() - _t2:.2f}s",
+                flush=True,
+            )
         counters.edges_scanned += m
         counters.messages_exchanged += m
 
@@ -165,6 +183,8 @@ def pagerank(
 
     result = ranks.select("id", F.col("rank").alias("pagerank"))
     info = {
+        "prepare_sec": round(_prep_sec, 3),
+        "loop_sec": round(_t.time() - _loop0, 3),
         "iterations": it,
         "converged": converged,
         "delta": float(delta),

@@ -1,2 +1,2 @@
-from .pages import generate_pages, pages_schema  # noqa: F401
+from .pages import generate_pages, pages_schema, synthetic_edges  # noqa: F401
 from .metis import read_metis  # noqa: F401

@@ -164,3 +164,28 @@ def generate_pages(
 
 def pages_schema() -> str:
     return "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def synthetic_edges(
+    spark: SparkSession,
+    n_pages: int,
+    max_out_links: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Directed weighted edge table of the synthetic link graph, generated
+    entirely JVM-side (no html round-trip) — same targets as the ``pages``
+    table's hyperlinks, for benchmarks that need the graph, not the pages.
+
+    Returns (src long, dst long, weight double) with preferential-attachment
+    in-degree skew (hubs at low ids).
+    """
+    if num_partitions is None:
+        num_partitions = max(8, min(512, n_pages // 100_000 + 8))
+    df = spark.range(0, n_pages, 1, num_partitions).withColumnRenamed("id", "page_id")
+    pid = F.col("page_id")
+    targets = _link_targets(pid, max_out_links)
+    return (
+        df.select(pid.alias("src"), F.explode(targets).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )

@@ -83,8 +83,12 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]  # identical docs → identical signatures
     # python oracle for one signature slot
+    from graph_partitioning_spark.data.dedup import MINHASH_PRIME, minhash_params
+
+    a0, b0 = minhash_params(1)[0]
     want0 = min(
-        hashlib.md5(("seed0:" + s).encode()).hexdigest() for s in _py_shingles(DOCS[0][1])
+        (a0 * int(hashlib.md5(s.encode()).hexdigest()[:8], 16) + b0) % MINHASH_PRIME
+        for s in _py_shingles(DOCS[0][1])
     )
     assert sigs[0][0] == want0
 

@@ -1,0 +1,99 @@
+"""Scaling-efficiency evidence for the north-rule's two-cluster-size test.
+
+No real cluster exists in this sandbox, so (per the driver instruction) the
+same job runs at two parallelism levels — ``local[N]`` and ``local[4N]`` —
+on the same input, and we report throughput at both plus the efficiency
+
+    efficiency = throughput(4N) / (4 × throughput(N))
+
+The job is the headline workload: PageRank supersteps (fixed count,
+tol=0) over the deterministic synthetic link graph (power-law in-degree),
+big enough that superstep work, not scheduling overhead, dominates.
+
+Each parallelism level runs in its own subprocess (a JVM's core count is
+fixed at startup). Results are appended to BENCH.md.
+
+Usage:
+    python tools/bench_scaling.py [n_pages] [iters] [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from graph_partitioning_spark.session import get_spark
+from graph_partitioning_spark.sources import synthetic_edges
+from graph_partitioning_spark.graph import pagerank
+
+n_pages = int(sys.argv[1]); iters = int(sys.argv[2]); cpus = int(sys.argv[3])
+spark = get_spark(app_name=f"scale{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
+edges = synthetic_edges(spark, n_pages).persist()
+m = edges.count()  # materialize input before timing
+ranks, info = pagerank(edges, damping=0.85, tol=0.0, max_iter=iters)
+ranks.count()
+# throughput over the superstep loop: prepare (one-time links/vertex build)
+# is amortized over the full convergence run at production scale
+print(json.dumps({
+    "cpus": cpus, "n_pages": n_pages, "n_edges": m, "iterations": info["iterations"],
+    "wall_sec": info["loop_sec"], "prepare_sec": info["prepare_sec"],
+    "edges_per_sec_per_superstep": round(m * info["iterations"] / info["loop_sec"], 1),
+    "skew_ratio": info["counters"].get("skew_ratio"),
+}))
+"""
+
+
+def run_level(n_pages: int, iters: int, cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(n_pages), str(iters), str(cpus)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    lo = run_level(n_pages, iters, n)
+    print(json.dumps(lo), flush=True)
+    hi = run_level(n_pages, iters, 4 * n)
+    print(json.dumps(hi), flush=True)
+
+    eff = hi["edges_per_sec_per_superstep"] / (4 * lo["edges_per_sec_per_superstep"])
+    summary = {
+        "n_pages": n_pages,
+        "n_edges": lo["n_edges"],
+        "iterations": iters,
+        f"throughput_local[{n}]": lo["edges_per_sec_per_superstep"],
+        f"throughput_local[{4*n}]": hi["edges_per_sec_per_superstep"],
+        "scaling_efficiency_Nx4": round(eff, 3),
+        "skew_ratio": lo["skew_ratio"],
+    }
+    print(json.dumps(summary), flush=True)
+
+    if os.environ.get("SPARK_GRAFT_NO_WRITE"):
+        return
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(
+            f"\n## Scaling run (PageRank {iters} supersteps, synthetic link graph)\n\n"
+            f"| setting | value |\n|---|---|\n"
+            f"| pages / directed edges | {n_pages:,} / {lo['n_edges']:,} |\n"
+            f"| in-degree skew ratio (max/avg) | {lo['skew_ratio']:.1f} |\n"
+            f"| throughput local[{n}] | {lo['edges_per_sec_per_superstep']:,.0f} edges/s/superstep ({lo['wall_sec']}s) |\n"
+            f"| throughput local[{4*n}] | {hi['edges_per_sec_per_superstep']:,.0f} edges/s/superstep ({hi['wall_sec']}s) |\n"
+            f"| **scaling efficiency N→4N** | **{eff:.3f}** |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
