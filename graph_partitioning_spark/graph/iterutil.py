@@ -48,8 +48,15 @@ def materialize(df: DataFrame) -> DataFrame:
 def release(df: DataFrame | None) -> None:
     """Free a previously materialized/persisted state (best-effort).
 
-    Unpersists both the DataFrame cache and, for localCheckpoint'ed frames,
-    the underlying cached RDD referenced by the LogicalRDD leaf.
+    Unpersists the DataFrame cache and, when the frame IS a materialized
+    state — its analyzed plan is a LogicalRDD, possibly under a linear
+    Project/Filter/SubqueryAlias chain — the checkpointed RDD behind it.
+
+    It deliberately does NOT walk arbitrary plans for LogicalRDD leaves:
+    a derived frame (join/union over several states) reaches leaves this
+    caller does not own, and unpersisting those frees *live* checkpoint
+    blocks out from under other DataFrames
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on their next action).
     """
     if df is None:
         return
@@ -58,13 +65,13 @@ def release(df: DataFrame | None) -> None:
     except Exception:
         pass
     try:
-        jdf = df._jdf
-        plan = jdf.queryExecution().analyzed()
-        # walk the analyzed plan for LogicalRDD leaves and unpersist their RDDs
-        it = plan.collectLeaves().iterator()
-        while it.hasNext():
-            leaf = it.next()
-            if leaf.getClass().getSimpleName() == "LogicalRDD":
-                leaf.rdd().unpersist(False)
+        node = df._jdf.queryExecution().analyzed()
+        while (
+            node.getClass().getSimpleName() in ("Project", "Filter", "SubqueryAlias")
+            and node.children().size() == 1
+        ):
+            node = node.children().apply(0)
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
     except Exception:
         pass

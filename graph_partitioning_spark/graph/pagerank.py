@@ -131,6 +131,18 @@ def pagerank(
     import time as _time
 
     _debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG"))
+    # Two jobs per superstep: (1) materialize the new rank state into the
+    # cache, (2) one combined aggregate over it producing BOTH the
+    # convergence delta and the next iteration's dangling mass — the
+    # separate dangling job the naive loop would run is folded away.
+    # States are persisted (real stats, constant digits); the plan is
+    # hard-truncated via localCheckpoint only every few supersteps, which
+    # bounds plan depth while avoiding a third job on the common path.
+    TRUNCATE_EVERY = 4
+    dangling = (
+        ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
+    )
+    pending_release: list[DataFrame] = []
     while it < max_iter:
         it += 1
         _t0 = _time.time()
@@ -139,8 +151,6 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("share") * F.col("rank")).alias("contrib"))
         )
-        dangling = ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
-        _t1 = _time.time()
         new_ranks = (
             ranks.join(contribs, ranks.id == contribs.dst, "left")
             .select(
@@ -154,14 +164,24 @@ def pagerank(
                 F.col("rank").alias("_old"),
             )
         )
-        new_ranks = materialize(new_ranks)
-        _t2 = _time.time()
+        truncate = (it % TRUNCATE_EVERY == 0) or checkpointer is not None
+        if truncate:
+            new_ranks = materialize(new_ranks)
+        else:
+            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            new_ranks.count()
+        _t1 = _time.time()
 
-        delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("_old")))).first()[0]
+        row = new_ranks.agg(
+            F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            F.sum(F.when(~F.col("has_out"), F.col("rank"))).alias("dangling"),
+        ).first()
+        delta = row["delta"]
+        dangling = row["dangling"] or 0.0
         if _debug:
             print(
-                f"[pagerank] iter={it} dangling={_t1 - _t0:.2f}s "
-                f"mat={_t2 - _t1:.2f}s delta_agg={_time.time() - _t2:.2f}s",
+                f"[pagerank] iter={it} mat={_t1 - _t0:.2f}s "
+                f"agg={_time.time() - _t1:.2f}s delta={delta:.2e}",
                 flush=True,
             )
         counters.edges_scanned += m
@@ -176,7 +196,16 @@ def pagerank(
                 counters,
                 params={"algorithm": "pagerank", "damping": damping, "tol": tol, "delta": delta},
             )
-        release(old)
+        if truncate:
+            # the new state is self-contained — everything older can go
+            release(old)
+            for df in pending_release:
+                release(df)
+            pending_release = []
+        else:
+            # old state may still back new_ranks' un-truncated lineage;
+            # defer its release until the next hard truncation
+            pending_release.append(old)
         if delta < tol:
             converged = True
             break
