@@ -76,6 +76,8 @@ class FennelConfig:
     salt_buckets: int = 0               # 0 → rely on AQE skew handling
     converge_early: bool = True
     checkpoint_every: int = 1           # restream iterations between durable checkpoints
+    foaf: bool = False                  # friend-of-a-friend lonely-node pass (F4)
+    bucket_by: str = "hash"             # "hash" | "degree_hl" micro-batch order (F11)
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -192,9 +194,29 @@ def fennel_partition(
         .withColumn("has_edge", F.coalesce(F.col("_has_edge"), F.lit(False)))
         .drop("_has_edge")
     )
-    state = state.withColumn(
-        "bucket", F.pmod(F.xxhash64("id"), F.lit(config.micro_batches)).cast("int")
-    ).withColumn("_changed", F.lit(False))
+    if config.bucket_by == "degree_hl":
+        # F11 DEGREE_HL: stream high-degree nodes first — bucket 0 gets the
+        # highest-degree slice (reference reorder,
+        # graph_partitioning/utils.py:999-1008). Global ntile is a
+        # single-task sort of (id, degree) pairs only — acceptable for the
+        # opt-in reorder mode; the default hash bucketing has no such point.
+        deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
+        state = (
+            state.join(deg, "id", "left")
+            .withColumn("_deg", F.coalesce(F.col("_deg"), F.lit(0)))
+            .withColumn(
+                "bucket",
+                F.ntile(config.micro_batches).over(
+                    Window.orderBy(F.desc("_deg"), F.asc("id"))
+                ) - 1,
+            )
+            .drop("_deg")
+        )
+    else:
+        state = state.withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(config.micro_batches)).cast("int")
+        )
+    state = state.withColumn("_changed", F.lit(False))
 
     counters = Counters()
     start_iter = 0
@@ -352,6 +374,9 @@ def fennel_partition(
             state.filter(F.col("partition") >= 0).unionByName(placed)
         )
 
+    if config.foaf:
+        state = _foaf_pass(sym, state, alpha, k, weights)
+
     result = state.select("id", "partition")
     info = {
         "iterations": it,
@@ -364,3 +389,122 @@ def fennel_partition(
     }
     release(sym)
     return result, info
+
+
+def _foaf_pass(
+    sym: DataFrame,
+    state: DataFrame,
+    alpha: float,
+    k: int,
+    weights: DataFrame | None,
+) -> DataFrame:
+    """Friend-of-a-friend lonely-node reassignment (F4).
+
+    Reference: ``friend_of_friend_lonely_node_partition_assignment``
+    (/root/reference/graph_partitioning/fennel.pyx:188-297). A *lonely*
+    node has zero vote mass — no neighbor sits in any partition it can see
+    (its neighbors are themselves unassigned / just-moved). Two stages over
+    the full graph, batch-synchronous:
+
+      (a) move each lonely node v to the partition maximizing the summed
+          vote mass of v's (unfixed) neighbors (fennel.pyx:257-268) —
+          votes computed with every lonely node's own assignment masked
+          out, the translation of the reference's ``assignments[v] = -1``
+          before scoring;
+      (b) where possible, override with the plurality of the neighbors'
+          *hypothetical* FENNEL assignments (votes − α·size argmax;
+          fennel.pyx:272-297).
+
+    Ties break (score desc, partition asc) — the reference's dict-order
+    tie is nondeterministic, so we canonicalize.
+    """
+    movable = state.filter(~F.col("fixed"))
+    # lonely = movable nodes with zero vote mass under the current state
+    v_all = _votes(sym, state, 0)
+    lonely = (
+        movable.join(
+            v_all.groupBy("id").agg(F.sum("votes").alias("mass")), "id", "left"
+        )
+        .filter(F.coalesce(F.col("mass"), F.lit(0.0)) <= 0.0)
+        .select("id")
+    )
+    if lonely.limit(1).count() == 0:
+        return state
+
+    # votes with all lonely assignments masked out
+    masked = state.join(
+        lonely.withColumn("_l", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        F.when(F.coalesce(F.col("_l"), F.lit(False)), F.lit(-1))
+        .otherwise(F.col("partition"))
+        .alias("partition"),
+    )
+    nbr_votes = _votes(sym, masked, 0).select(
+        F.col("id").alias("u"), F.col("partition").alias("p"), "votes"
+    )
+    # unfixed neighbors u of each lonely node v
+    nbrs = (
+        sym.join(lonely.withColumnRenamed("id", "src"), "src", "left_semi")
+        .select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .join(
+            state.filter(~F.col("fixed")).select(F.col("id").alias("u")),
+            "u",
+            "left_semi",
+        )
+        .distinct()
+    )
+
+    # stage (a): total neighbor vote mass per (v, p)
+    stage_a = (
+        nbrs.join(nbr_votes, "u")
+        .groupBy("v", "p")
+        .agg(F.sum("votes").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    pick_a = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("p"))
+    a_best = (
+        stage_a.withColumn("rn", F.row_number().over(pick_a))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v").alias("id"), F.col("p").alias("foaf_a"))
+    )
+
+    # stage (b): hypothetical FENNEL assignment of each voting neighbor
+    sizes = _sizes_map(masked.withColumn("fixed", F.lit(False)), weights, k)
+    size_arr = F.array(*[F.lit(s) for s in sizes])
+    hyp = (
+        nbr_votes.withColumn(
+            "score",
+            F.col("votes") - F.lit(alpha) * F.element_at(size_arr, F.col("p").cast("int") + 1),
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("u").orderBy(F.desc("score"), F.asc("p")))
+        )
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("p").alias("hyp_p"))
+    )
+    stage_b = (
+        nbrs.join(hyp, "u")
+        .groupBy("v", "hyp_p")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pick_b = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("hyp_p"))
+    b_best = (
+        stage_b.withColumn("rn", F.row_number().over(pick_b))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v").alias("id"), F.col("hyp_p").alias("foaf_b"))
+    )
+
+    out = (
+        state.join(a_best, "id", "left")
+        .join(b_best, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("foaf_b"), F.col("foaf_a"), F.col("partition")).alias("partition"),
+            "fixed",
+            "bucket",
+            "has_edge",
+            "_changed",
+        )
+    )
+    return materialize(out)

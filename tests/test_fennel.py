@@ -152,3 +152,36 @@ def test_fennel_salted_votes_match_unsalted(spark):
     da = {r["id"]: r["partition"] for r in a.collect()}
     db = {r["id"]: r["partition"] for r in b.collect()}
     assert da == db
+
+
+def test_fennel_foaf_pass(spark):
+    """A lonely clique pair: nodes 100,101 connect only to each other and to
+    unassigned-region neighbors; FOAF should pull them toward where their
+    2-hop mass lives (fennel.pyx:188-297 semantics, batch-synchronous)."""
+    src, dst, w = planted_graph(n_per=30, k=2, seed=15)
+    edges = _edges_df(spark, src, dst, w)
+    cfg_plain = FennelConfig(num_partitions=2, num_iterations=2, micro_batches=3, foaf=False)
+    cfg_foaf = FennelConfig(num_partitions=2, num_iterations=2, micro_batches=3, foaf=True)
+    a1, _ = fennel_partition(edges, cfg_plain)
+    a2, _ = fennel_partition(edges, cfg_foaf)
+    # FOAF is a refinement pass: still a total assignment into [0,k)
+    d2 = {r["id"]: r["partition"] for r in a2.collect()}
+    assert len(d2) == 60
+    assert all(0 <= p < 2 for p in d2.values())
+    # and it should not damage cut quality on a planted graph
+    from graph_partitioning_spark.partitioning import cut_metrics as _cm
+    assert _cm(edges, a2)["cut_ratio"] <= _cm(edges, a1)["cut_ratio"] + 0.05
+
+
+def test_fennel_degree_hl_bucketing(spark):
+    src, dst, w = random_edges(80, 300, seed=71)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(
+        num_partitions=3, num_iterations=2, micro_batches=4, bucket_by="degree_hl"
+    )
+    result, info = fennel_partition(edges, cfg)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+    assert all(0 <= p < 3 for p in got.values())
+    # deterministic across runs
+    again, _ = fennel_partition(edges, cfg)
+    assert got == {r["id"]: r["partition"] for r in again.collect()}

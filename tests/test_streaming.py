@@ -1,0 +1,111 @@
+"""Structured-Streaming arrival feed, sinks, and centrality measures."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_partitioning_spark.graph.centrality import (
+    degree_centrality,
+    leverage_centrality,
+)
+from graph_partitioning_spark.graph.edges import undirect
+from graph_partitioning_spark.sources.sinks import (
+    append_metrics,
+    read_assignments,
+    read_metrics,
+    read_run_manifest,
+    write_assignments,
+    write_run_manifest,
+)
+from graph_partitioning_spark.streaming import run_streaming_arrivals
+from graph_partitioning_spark.streaming.arrivals import ARRIVAL_STREAM_SCHEMA
+
+from .conftest import random_edges
+from .oracles import _adj
+
+
+def test_streaming_arrivals_end_to_end(spark, tmp_path):
+    src, dst, w = random_edges(50, 160, seed=3)
+    edges = undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    ).persist()
+    ids = sorted({int(v) for v in np.concatenate([src, dst])})
+
+    # drop arrival files into a watched directory in 3 chunks
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    chunks = [ids[: len(ids) // 3], ids[len(ids) // 3 : 2 * len(ids) // 3], ids[2 * len(ids) // 3 :]]
+
+    source = spark.readStream.schema(ARRIVAL_STREAM_SCHEMA).parquet(stream_dir)
+    query, state = run_streaming_arrivals(
+        edges, source, num_partitions=3, num_iterations=1,
+        stream_checkpoint_dir=str(tmp_path / "scp"),
+    )
+    try:
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(
+                [(v, j) for j, v in enumerate(chunk)], ARRIVAL_STREAM_SCHEMA
+            ).write.mode("append").parquet(stream_dir)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+
+    assert state.batches_done >= 1
+    got = {r["id"]: r["partition"] for r in state.current.collect()}
+    assert set(got) == set(ids)
+    assert all(0 <= p < 3 for p in got.values())
+    assert len(state.metrics) == state.batches_done
+    assert state.fixed_ids.count() == len(ids)
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    a = spark.createDataFrame([(i, i % 4) for i in range(40)], "id long, partition int")
+    path = str(tmp_path / "assign")
+    write_assignments(a, path)
+    back = read_assignments(spark, path)
+    assert {(r["id"], r["partition"]) for r in back.collect()} == {
+        (i, i % 4) for i in range(40)
+    }
+    # partition pruning: reading one partition touches one directory
+    assert back.filter(F.col("partition") == 2).count() == 10
+
+    mpath = str(tmp_path / "metrics")
+    m1 = spark.createDataFrame([(0, 0.5)], "batch int, cut_ratio double")
+    m2 = spark.createDataFrame([(1, 0.4)], "batch int, cut_ratio double")
+    append_metrics(m1, mpath)
+    append_metrics(m2, mpath)
+    assert read_metrics(spark, mpath).count() == 2
+
+    man = str(tmp_path / "run" / "manifest.json")
+    write_run_manifest(man, {"run": "r1", "batches": 2})
+    assert read_run_manifest(man)["batches"] == 2
+
+
+def test_centrality(spark):
+    src, dst, w = random_edges(40, 140, seed=9)
+    edges = undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    ).persist()
+    adj = _adj(src, dst, w)
+    deg = {v: len(nb) for v, nb in adj.items()}
+    n = len(adj)
+
+    dc = {r["id"]: (r["degree"], r["centrality"]) for r in degree_centrality(edges).collect()}
+    for v, d in deg.items():
+        assert dc[v][0] == d
+        assert dc[v][1] == pytest.approx(d / (n - 1))
+
+    lev = {r["id"]: r["leverage"] for r in leverage_centrality(edges).collect()}
+    for v in list(deg)[:20]:
+        want = np.mean(
+            [(deg[v] - deg[u]) / (deg[v] + deg[u]) for u in adj[v]]
+        )
+        assert lev[v] == pytest.approx(want, rel=1e-9)
