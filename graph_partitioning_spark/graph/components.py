@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager, Counters
-from .iterutil import materialize, release
+from .iterutil import LoopState, materialize, release
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -108,9 +108,10 @@ def connected_components(
             start_step = manifest["superstep"]
             counters = Counters.from_dict(manifest["counters"])
             e = checkpointer.load_states(spark, manifest)["edges"]
+    loop = LoopState(truncate_every=1)
     if e is None:
         e = _canon(edges)
-    e = materialize(e)
+    e = loop.set_initial(e)
 
     fp = _fingerprint(e)
     it = start_step
@@ -118,18 +119,18 @@ def connected_components(
     while it < max_iter:
         it += 1
         m = fp[0]
-        new_e = materialize(_small_star(_large_star(e)))
+        new_e = loop.advance(_small_star(_large_star(e)))
         new_fp = _fingerprint(new_e)
         counters.edges_scanned += 2 * m
         counters.messages_exchanged += 2 * m
         if checkpointer is not None:
             checkpointer.save(it, {"edges": new_e}, counters, params={"algorithm": "cc"})
-        release(e)
         e = new_e
         if new_fp == fp:
             converged = True
             break
         fp = new_fp
+    loop.close()
 
     assignments = (
         vertices.join(e.withColumnRenamed("src", "id"), "id", "left")

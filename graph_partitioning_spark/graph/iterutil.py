@@ -75,3 +75,56 @@ def release(df: DataFrame | None) -> None:
             node.rdd().unpersist(False)
     except Exception:
         pass
+
+
+class LoopState:
+    """State manager for iterative loops: cheap persist per superstep, hard
+    plan truncation every ``truncate_every`` steps, deferred releases.
+
+    ``advance(new_df)`` materializes the next state (one job), returns it,
+    and frees ancestors that are no longer reachable. Between truncations
+    states are plain persisted caches — their plans chain back to the last
+    truncated state, so ancestors must stay alive until the next hard
+    truncation (releasing earlier would force recomputes or, for
+    checkpointed ancestors, CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    """
+
+    def __init__(self, truncate_every: int = 4):
+        self.truncate_every = truncate_every
+        self.step = 0
+        self.current: DataFrame | None = None
+        self._pending: list[DataFrame] = []
+
+    def advance(self, new_df: DataFrame, force_truncate: bool = False) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        self.step += 1
+        truncate = force_truncate or (self.step % self.truncate_every == 0)
+        if truncate:
+            new_state = materialize(new_df)
+        else:
+            new_state = new_df.persist(StorageLevel.MEMORY_AND_DISK)
+            new_state.count()
+        old = self.current
+        self.current = new_state
+        if truncate:
+            if old is not None:
+                release(old)
+            for df in self._pending:
+                release(df)
+            self._pending = []
+        elif old is not None:
+            self._pending.append(old)
+        return new_state
+
+    def set_initial(self, df: DataFrame) -> DataFrame:
+        self.current = materialize(df)
+        return self.current
+
+    def close(self, keep_current: bool = True) -> None:
+        for df in self._pending:
+            release(df)
+        self._pending = []
+        if not keep_current and self.current is not None:
+            release(self.current)
+            self.current = None

@@ -24,7 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager, Counters
 from .edges import symmetrize
-from .iterutil import materialize, release
+from .iterutil import LoopState, materialize, release
 
 
 def label_propagation(
@@ -63,7 +63,8 @@ def label_propagation(
             .distinct()
             .select("id", F.col("id").alias("label"))
         )
-    labels = materialize(labels)
+    loop = LoopState(truncate_every=1)
+    labels = loop.set_initial(labels)
 
     it = start_step
     converged = False
@@ -83,23 +84,22 @@ def label_propagation(
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
         )
-        joined = materialize(joined)
+        joined = loop.advance(joined)
 
         changed = joined.filter(F.col("_changed")).count()
         counters.edges_scanned += m
         counters.messages_exchanged += m
 
-        old = labels
         labels = joined.drop("_changed")
         if checkpointer is not None:
             checkpointer.save(
                 it, {"labels": labels}, counters,
                 params={"algorithm": "lpa", "changed": changed},
             )
-        release(old)
         if changed == 0:
             converged = True
             break
 
+    loop.close()
     info = {"iterations": it, "converged": converged, "counters": counters.to_dict()}
     return labels.select("id", "label"), info
