@@ -289,19 +289,24 @@ def q_modularity(spark, sf_dir):
     return spark.createDataFrame([(round(modularity(e, a), 6),)], "modularity double")
 
 
+def _fennel_assign(spark, sf_dir):
+    key = f"{sf_dir}::fennel"
+    if key not in _EDGE_CACHE:
+        e = copurchase_edges(spark, sf_dir)
+        assign, _ = fennel_partition(
+            e, FennelConfig(num_partitions=K_PARTS, num_iterations=2, micro_batches=4)
+        )
+        _EDGE_CACHE[key] = assign
+    return _EDGE_CACHE[key]
+
+
 def q_fennel_partition(spark, sf_dir):
-    e = copurchase_edges(spark, sf_dir)
-    assign, _ = fennel_partition(
-        e, FennelConfig(num_partitions=K_PARTS, num_iterations=2, micro_batches=4)
-    )
-    return assign
+    return _fennel_assign(spark, sf_dir)
 
 
 def q_fennel_quality(spark, sf_dir):
     e = copurchase_edges(spark, sf_dir)
-    assign, info = fennel_partition(
-        e, FennelConfig(num_partitions=K_PARTS, num_iterations=2, micro_batches=4)
-    )
+    assign = _fennel_assign(spark, sf_dir)
     cm = cut_metrics(e, assign)
     w = waste(assign, K_PARTS, n_nodes=assign.count())
     return spark.createDataFrame(
@@ -422,6 +427,43 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_leverage_centrality(spark, sf_dir):
+    from graph_partitioning_spark.graph.centrality import leverage_centrality
+
+    lev = leverage_centrality(copurchase_edges(spark, sf_dir))
+    return lev.select("id", F.round("leverage", 6).alias("leverage"))
+
+
+def q_orders_running_total(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+def q_parts_never_ordered(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_events_zscore(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+        ).alias("zscore"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the co-purchase link graph at sf0.001."""
     return q_pagerank5(spark, "/root/testdata/sf0.001")
@@ -459,6 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
+        "leverage_centrality": q_leverage_centrality,
+        "orders_running_total": q_orders_running_total,
+        "parts_never_ordered": q_parts_never_ordered,
+        "events_zscore": q_events_zscore,
     }
 
 
@@ -754,6 +800,22 @@ FROM flagged GROUP BY user_id""",
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+        "leverage_centrality": f"""WITH {EDGES_CTE},
+deg AS (SELECT src AS id, COUNT(*) AS k FROM sym GROUP BY src)
+SELECT s.src AS id,
+       ROUND(AVG((di.k - dj.k) * 1.0 / (di.k + dj.k)), 6) AS leverage
+FROM sym s JOIN deg di ON di.id = s.src JOIN deg dj ON dj.id = s.dst
+GROUP BY s.src""",
+        "orders_running_total": """SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey), 4) AS running_total
+FROM orders""",
+        "parts_never_ordered": """SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+        "events_zscore": """SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS zscore
+FROM events""",
         "revenue_by_nation": """SELECT n_name,
        ROUND(SUM(o_totalprice), 4) AS revenue,
        COUNT(*) AS n_orders
