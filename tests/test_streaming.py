@@ -109,3 +109,46 @@ def test_centrality(spark):
             [(deg[v] - deg[u]) / (deg[v] + deg[u]) for u in adj[v]]
         )
         assert lev[v] == pytest.approx(want, rel=1e-9)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries across micro-batches."""
+    from graph_partitioning_spark.streaming.sessionize import sessionize_stream
+
+    stream_dir = str(tmp_path / "events")
+    os.makedirs(stream_dir)
+    schema = "user_id long, ts timestamp"
+    source = spark.readStream.schema(schema).parquet(stream_dir)
+    out = sessionize_stream(source, gap_seconds=1800)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        import datetime as dt
+
+        t0 = dt.datetime(2022, 1, 1, 10, 0, 0)
+        # batch 1: user 1 two events 10min apart (1 session); user 2 one event
+        spark.createDataFrame(
+            [(1, t0), (1, t0 + dt.timedelta(minutes=10)), (2, t0)], schema
+        ).write.mode("append").parquet(stream_dir)
+        query.processAllAvailable()
+        # batch 2: user 1 event 2h later -> NEW session (state remembered)
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(hours=2))], schema
+        ).write.mode("append").parquet(stream_dir)
+        query.processAllAvailable()
+        rows = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in spark.sql(
+                "select user_id, max(n_sessions) n_sessions, max(n_events) n_events "
+                "from sess group by user_id"
+            ).collect()
+        }
+    finally:
+        query.stop()
+    assert rows[1] == (2, 3)   # second session opened across batches
+    assert rows[2] == (1, 1)

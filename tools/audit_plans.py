@@ -1,0 +1,64 @@
+"""Regenerate PLANS.md — physical-plan audit of headline queries."""
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from graph_partitioning_spark.session import get_spark
+
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    sections = []
+
+    def grab(name, df, note):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        keep = [
+            l
+            for l in buf.getvalue().splitlines()
+            if any(
+                k in l
+                for k in (
+                    "ReadSchema", "PushedFilters", "Join", "Exchange",
+                    "HashAggregate", "Scan parquet", "WholeStageCodegen",
+                    "AdaptiveSparkPlan", "Window", "Sort ",
+                )
+            )
+        ]
+        sections.append(f"## {name}\n\n{note}\n\n```\n" + "\n".join(keep[:30]) + "\n```\n")
+
+    e._EDGE_CACHE.clear()
+    grab("copurchase_edges", e.copurchase_edges(spark, sf),
+         "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
+    grab("doc_quality", e.q_doc_quality(spark, sf),
+         "Single pruned scan (doc_id, text); all scoring in one WholeStageCodegen projection.")
+    grab("ann_topk", e.q_ann_topk(spark, sf),
+         "vec_id<8 predicate pushed to the query-side scan; broadcast nested loop over corpus; per-query top-k window.")
+    grab("tpch_q1", e.q_tpch_q1(spark, sf),
+         "shipdate filter pushed to parquet; map-side partial aggregation before the 6-group shuffle.")
+    grab("revenue_by_nation", e.q_revenue_by_nation(spark, sf),
+         "Dimension tables broadcast (no shuffle on the fact side until the final small agg).")
+    grab("minhash", e.q_minhash(spark, sf),
+         "One md5 per shingle; 16 min-aggregates partial-combined map-side; shuffle is 16 longs per doc.")
+
+    header = (
+        "# PLANS — physical-plan audit of headline queries\n\n"
+        "Evidence that the declarative plans hit the optimizations the design\n"
+        "promises: predicate pushdown (`PushedFilters`), column pruning\n"
+        "(`ReadSchema`), broadcast joins for small sides, map-side partial\n"
+        "aggregation, and whole-stage codegen. Regenerate with\n"
+        "`python tools/audit_plans.py` (this file's generator).\n\n"
+    )
+    with open("PLANS.md", "w") as f:
+        f.write(header + "\n".join(sections))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
