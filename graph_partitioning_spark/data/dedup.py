@@ -169,16 +169,25 @@ def lsh_candidate_pairs(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a, b, n_bands) with a < b.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows; band
     key = md5 of the concatenated band slice; documents sharing a band key
     are candidates. n_bands = number of agreeing bands (ranking signal).
+
+    ``signatures``: optional precomputed ``minhash_signatures`` output
+    (doc_id, sig) — pass it when the pipeline already materialized
+    signatures so the (dominant) shingle+hash pass is not paid twice.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, k, text_col, id_col)
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(documents, num_hashes, k, text_col, id_col)
+    )
     band_rows = sigs.select(
         "doc_id",
         F.explode(

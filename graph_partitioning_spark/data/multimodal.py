@@ -28,7 +28,7 @@ MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, width int, height int"
 )
 
-FEATURE_SCHEMA = "media_id long, n_bytes int, sha1 string, feature array<float>"
+FEATURE_SCHEMA = "media_id long, n_bytes int, fp_md5 string, feature array<float>"
 
 FEATURE_DIM = 16
 
@@ -55,24 +55,28 @@ def decode_image(payload: bytes, fake: bool = False) -> "np.ndarray":
 def _featurize_batch(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
     payloads = pdf["payload"]
     n_bytes = payloads.map(lambda b: len(b) if b is not None else 0).astype("int32")
-    sha1 = payloads.map(
-        lambda b: hashlib.sha1(bytes(b or b"")).hexdigest()
+    fp_md5 = payloads.map(
+        lambda b: hashlib.md5(bytes(b or b"")).hexdigest()
     )
     feats = []
     for b in payloads:
         img = decode_image(bytes(b or b""), fake=fake_decode)
-        # channel-wise block means, L2-normalized — a stand-in for a real
-        # CNN/CLIP embedding with the same array<float> contract
-        f = img.reshape(-1, 3).mean(axis=0)
-        f = np.concatenate([f, img.std(axis=(0, 1)), img.reshape(-1)[:10]]).astype("float32")
-        f = f[:FEATURE_DIM]
-        norm = float(np.linalg.norm(f)) or 1.0
-        feats.append((f / norm).astype("float32").tolist())
+        digest = hashlib.sha256(bytes(b or b"")).digest()
+        # channel-wise block means + leading digest bytes, each scaled by a
+        # power of two — every component is a dyadic rational, EXACTLY
+        # representable in both float32 and float64, so an external SQL
+        # oracle (the driver's DuckDB gate) reproduces the values
+        # bit-for-bit. A real codec plugs in at decode_image; the contract
+        # (array<float> of FEATURE_DIM, deterministic per payload) stays.
+        means = img.reshape(-1, 3).mean(axis=0) / 256.0  # sums of 64 uint8 → exact
+        rest = np.frombuffer(digest[: FEATURE_DIM - 3], dtype=np.uint8) / 256.0
+        f = np.concatenate([means, rest])[:FEATURE_DIM]
+        feats.append(f.astype("float32").tolist())
     return pd.DataFrame(
         {
             "media_id": pdf["media_id"],
             "n_bytes": n_bytes,
-            "sha1": sha1,
+            "fp_md5": fp_md5,
             "feature": feats,
         }
     )

@@ -17,19 +17,24 @@ from ..functions.extraction import extract_links_udf
 
 
 def assign_dense_ids(
-    df: DataFrame, key: str, id_col: str = "id", num_partitions: int | None = None
+    df: DataFrame,
+    key: str | list[str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign dense 0..n-1 ids ordered by ``key`` (deterministic, scalable).
 
     Equivalent to ``row_number() over (order by key) - 1`` but without
     funneling all rows through one task: repartitionByRange(key) →
     per-partition row_number + driver-side offsets (k counts only).
+    ``key`` may be a list of columns (compound sort key for tie-breaking).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
-        "_part", F.spark_partition_id()
-    )
+    ranged = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in keys]
+    ).withColumn("_part", F.spark_partition_id())
     ranged = ranged.persist()
     counts = {r["_part"]: r["cnt"] for r in ranged.groupBy("_part").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -40,7 +45,7 @@ def assign_dense_ids(
     offsets_df = F.broadcast(
         spark.createDataFrame([(p, o) for p, o in offsets.items()], "_part int, _offset long")
     )
-    w = Window.partitionBy("_part").orderBy(key)
+    w = Window.partitionBy("_part").orderBy(*keys)
     out = (
         ranged.join(offsets_df, "_part")
         .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("_offset") - 1)

@@ -142,6 +142,12 @@ def pagerank(
     dangling = (
         ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
     )
+    # `state` is always the EXACT frame that was persisted/materialized —
+    # non-cascading unpersist only frees a cache whose plan is sameResult
+    # with the argument, so releasing a Project over it (ranks =
+    # state.drop('_old')) would silently leak every persist-only superstep's
+    # MEMORY_AND_DISK blocks for the job lifetime.
+    state = ranks
     pending_release: list[DataFrame] = []
     while it < max_iter:
         it += 1
@@ -187,7 +193,8 @@ def pagerank(
         counters.edges_scanned += m
         counters.messages_exchanged += m
 
-        old = ranks
+        old_state = state
+        state = new_ranks
         ranks = new_ranks.drop("_old")
         if checkpointer is not None and (it % checkpoint_every == 0 or delta < tol):
             checkpointer.save(
@@ -198,17 +205,29 @@ def pagerank(
             )
         if truncate:
             # the new state is self-contained — everything older can go
-            release(old)
+            release(old_state)
             for df in pending_release:
                 release(df)
             pending_release = []
         else:
             # old state may still back new_ranks' un-truncated lineage;
             # defer its release until the next hard truncation
-            pending_release.append(old)
+            pending_release.append(old_state)
         if delta < tol:
             converged = True
             break
+
+    if pending_release:
+        # exited on a persist-only superstep: cut the final state loose from
+        # its un-truncated lineage, then drain every deferred ancestor —
+        # otherwise their caches outlive the call
+        final_state = materialize(state)
+        release(state)
+        for df in pending_release:
+            release(df)
+        pending_release = []
+        state = final_state
+        ranks = state.drop("_old") if "_old" in state.columns else state
 
     result = ranks.select("id", F.col("rank").alias("pagerank"))
     info = {

@@ -173,10 +173,16 @@ def simulate_arrivals(
     spark = edges.sparkSession
     k = config.num_partitions
 
-    arriving = (
-        arrivals.filter(F.col("arrived") == 1)
-        .select("id", "seq")
-        .withColumn("arrival_rank", F.row_number().over(Window.orderBy("seq")) - 1)
+    # arrival ranking without a global window (which funnels the whole
+    # arrival table through one task): range-partition by (seq, id) +
+    # per-partition row_number + driver offsets — the same scalable pattern
+    # as graph.edges.assign_dense_ids; id breaks seq ties deterministically
+    from ..graph.edges import assign_dense_ids
+
+    arriving = assign_dense_ids(
+        arrivals.filter(F.col("arrived") == 1).select("id", "seq"),
+        ["seq", "id"],
+        id_col="arrival_rank",
     )
     arriving = materialize(arriving)
     n_arrivals = arriving.count()

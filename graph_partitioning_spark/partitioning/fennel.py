@@ -77,8 +77,29 @@ class FennelConfig:
     converge_early: bool = True
     checkpoint_every: int = 1           # restream iterations between durable checkpoints
     foaf: bool = False                  # friend-of-a-friend lonely-node pass (F4)
-    bucket_by: str = "hash"             # "hash" | "degree_hl" micro-batch order (F11)
+    # micro-batch order (F11): "hash" (default), "mod" (id+seed mod buckets —
+    # portable arithmetic an external SQL oracle can reproduce exactly),
+    # "degree_hl" / "leverage_hl" (high-first centrality buckets)
+    bucket_by: str = "hash"
+    bucket_seed: int = 0                # varies the stream order (best-of-N runs)
     extra: dict[str, Any] = field(default_factory=dict)
+
+
+def _bucket_expr(id_col, config: FennelConfig):
+    """Deterministic micro-batch bucket as a pure expression over the id.
+
+    Being id-computable (no join) lets the superstep filter the *edge* table
+    to the active bucket's sources for free — see the votes pruning in the
+    main loop. "mod" is plain modular arithmetic so a non-Spark SQL oracle
+    (the driver's DuckDB gate) can replay the exact bucket schedule.
+    """
+    if config.bucket_by == "mod":
+        return F.pmod(id_col + F.lit(config.bucket_seed), F.lit(config.micro_batches)).cast("int")
+    if config.bucket_seed == 0:
+        return F.pmod(F.xxhash64(id_col), F.lit(config.micro_batches)).cast("int")
+    return F.pmod(
+        F.xxhash64(id_col, F.lit(config.bucket_seed)), F.lit(config.micro_batches)
+    ).cast("int")
 
 
 def _sizes_map(assignments: DataFrame, weights: DataFrame | None, k: int) -> list[float]:
@@ -170,6 +191,15 @@ def fennel_partition(
 
     # fixed / initial state
     if initial is not None:
+        # validate up front: a caller-supplied assignment (or stale
+        # checkpoint) with partition ids ≥ k would otherwise surface as an
+        # IndexError deep inside the bucket loop's sizes arithmetic
+        bad = initial.filter(F.col("partition") >= k).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"initial assignment contains partition ids >= num_partitions={k}; "
+                "was the checkpoint written with a different k?"
+            )
         state = all_ids.join(initial.select("id", "partition"), "id", "left").select(
             "id", F.coalesce(F.col("partition"), F.lit(-1)).alias("partition")
         )
@@ -194,28 +224,36 @@ def fennel_partition(
         .withColumn("has_edge", F.coalesce(F.col("_has_edge"), F.lit(False)))
         .drop("_has_edge")
     )
-    if config.bucket_by == "degree_hl":
-        # F11 DEGREE_HL: stream high-degree nodes first — bucket 0 gets the
-        # highest-degree slice (reference reorder,
-        # graph_partitioning/utils.py:999-1008). Global ntile is a
-        # single-task sort of (id, degree) pairs only — acceptable for the
-        # opt-in reorder mode; the default hash bucketing has no such point.
-        deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
+    if config.bucket_by in ("degree_hl", "leverage_hl"):
+        # F11 DEGREE_HL / LEVERAGE_HL: stream high-centrality nodes first —
+        # bucket 0 gets the highest slice (reference reorder schemes,
+        # graph_partitioning/utils.py:999-1008 degree and :1010-1061
+        # leverage centrality high-low). Global ntile is a single-task sort
+        # of (id, score) pairs only — acceptable for the opt-in reorder
+        # modes; the default hash bucketing has no such point.
+        if config.bucket_by == "leverage_hl":
+            from ..graph.centrality import leverage_centrality
+
+            score = leverage_centrality(edges).select(
+                "id", F.col("leverage").alias("_score")
+            )
+        else:
+            score = sym.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").cast("double").alias("_score")
+            )
         state = (
-            state.join(deg, "id", "left")
-            .withColumn("_deg", F.coalesce(F.col("_deg"), F.lit(0)))
+            state.join(score, "id", "left")
+            .withColumn("_score", F.coalesce(F.col("_score"), F.lit(0.0)))
             .withColumn(
                 "bucket",
                 F.ntile(config.micro_batches).over(
-                    Window.orderBy(F.desc("_deg"), F.asc("id"))
+                    Window.orderBy(F.desc("_score"), F.asc("id"))
                 ) - 1,
             )
-            .drop("_deg")
+            .drop("_score")
         )
     else:
-        state = state.withColumn(
-            "bucket", F.pmod(F.xxhash64("id"), F.lit(config.micro_batches)).cast("int")
-        )
+        state = state.withColumn("bucket", _bucket_expr(F.col("id"), config))
     state = state.withColumn("_changed", F.lit(False))
 
     counters = Counters()
@@ -255,12 +293,29 @@ def fennel_partition(
             _t1 = _time.time()
             # best zero-vote partition: smallest size, smallest index on ties
             best_empty = min(range(k), key=lambda p: (sizes[p], p))
-            votes = _votes(sym, state, config.salt_buckets).select(
-                "id", F.col("partition").alias("vp"), "votes"
-            )
 
             movable = state.filter(
                 (~F.col("fixed")) & (F.col("bucket") == b) & F.col("has_edge")
+            )
+            # votes pruning: only bucket-b movable nodes consume votes, so
+            # restrict the vote aggregation's *input edges* to that bucket's
+            # sources BEFORE the join+agg — otherwise every bucket step pays
+            # the full-graph shuffle and discards (micro_batches−1)/micro of
+            # it (Catalyst cannot push the bucket predicate through the
+            # aggregation). For id-computable bucketings this is a free
+            # filter on the cached edge table (no extra shuffle); fixed
+            # nodes sharing the bucket still aggregate — the movable join
+            # below discards those few rows, which is far cheaper than a
+            # semi-join shuffle to exclude them. Centrality bucketings fall
+            # back to a semi-join against the movable ids.
+            if config.bucket_by in ("hash", "mod"):
+                active_edges = sym.filter(_bucket_expr(F.col("src"), config) == b)
+            else:
+                active_edges = sym.join(
+                    movable.select(F.col("id").alias("src")), "src", "left_semi"
+                )
+            votes = _votes(active_edges, state, config.salt_buckets).select(
+                "id", F.col("partition").alias("vp"), "votes"
             )
             cand = movable.join(votes, "id", "left").select(
                 "id",
@@ -354,24 +409,44 @@ def fennel_partition(
         if config.converge_early and changed_this_iter == 0:
             break
 
-    # singleton placement (degree-0, still unassigned): fill ascending-size
-    # partitions round-robin — the reference re-finds the min each placement
-    # (fennel.pyx:142-148); with a batch of singletons that is round-robin
-    # over the ascending-size order.
+    # singleton placement (degree-0, still unassigned): the reference
+    # re-finds the min-size partition after *each* placement
+    # (fennel.pyx:142-148). Sizes are k scalars, so the greedy min-fill is
+    # simulated exactly on the driver with a heap over (size, partition) —
+    # ties break to the smallest partition id, matching
+    # ``parts.index(min(parts))``. Singletons are consumed in ascending-id
+    # order (our canonical stream order). The collect is bounded by the
+    # degree-0 node count — at web scale isolated vertices are filtered at
+    # extraction (P7), so this set is small by construction.
     lonely = state.filter(F.col("partition") < 0)
     if lonely.limit(1).count() > 0:
+        import heapq
+
+        if weights is not None:
+            lonely_w = lonely.join(
+                weights.select("id", F.col("weight").alias("_w")), "id", "left"
+            ).select("id", F.coalesce(F.col("_w"), F.lit(1.0)).alias("_w"))
+        else:
+            lonely_w = lonely.select("id", F.lit(1.0).alias("_w"))
+        rows = lonely_w.orderBy("id").collect()
         sizes = _sizes_map(state, weights, k)
-        order = sorted(range(k), key=lambda p: (sizes[p], p))
-        order_arr = F.array(*[F.lit(p) for p in order])
-        w_rank = Window.orderBy("id")
-        placed = lonely.withColumn(
-            "partition",
-            F.element_at(
-                order_arr, (F.pmod(F.row_number().over(w_rank) - 1, F.lit(k)) + 1).cast("int")
-            ),
-        )
+        heap = [(sizes[p], p) for p in range(k)]
+        heapq.heapify(heap)
+        placements = []
+        for r in rows:
+            s, p = heapq.heappop(heap)
+            placements.append((int(r["id"]), p))
+            heapq.heappush(heap, (s + float(r["_w"]), p))
+        placed_df = spark.createDataFrame(placements, "id long, _np int")
         state = materialize(
-            state.filter(F.col("partition") >= 0).unionByName(placed)
+            state.join(placed_df, "id", "left").select(
+                "id",
+                F.coalesce(F.col("_np"), F.col("partition")).alias("partition"),
+                "fixed",
+                "bucket",
+                "has_edge",
+                "_changed",
+            )
         )
 
     if config.foaf:

@@ -280,6 +280,261 @@ def modularity(edges: DataFrame, assignments: DataFrame) -> float:
         labeled.unpersist()
 
 
+def community_quality(edges: DataFrame, labels: DataFrame) -> dict[str, float]:
+    """Q, Qds (modularity density) and conductance of a community division,
+    as closed-form DataFrame aggregations.
+
+    The reference obtains these three columns of its 12-metric row by
+    shelling out to the external ComQualityMetric Java binary per partition
+    (/root/reference/graph_partitioning/utils.py:293-321) — the in-engine
+    replacement computes the published closed forms directly (Chen, Kuzmin,
+    Szymanski, "Community Detection via Maximization of Modularity and Its
+    Variants", 2014 — the paper behind that tool):
+
+      Q    = Σ_c [ w_in(c)/m − ((2·w_in(c) + w_out(c)) / 2m)² ]
+      Qds  = Σ_c [ (w_in(c)/m)·d(c) − ((2·w_in(c)+w_out(c))/2m · d(c))² ]
+             − Σ_{c≠c'} (w_{c,c'}/2m) · d(c,c')          (split penalty)
+      cond = (1/|C|) Σ_c  w_out(c) / (2·w_in(c) + w_out(c))
+
+    with d(c) = 2·w_in(c)/(n_c(n_c−1)) the internal density, d(c,c') =
+    w_{c,c'}/(n_c·n_{c'}) the pair density, m = total edge weight among
+    labeled nodes. Nodes with label < 0 are excluded (UNMAPPED convention).
+
+    Plan: one edge relabel (two equi-joins), one groupBy (c1,c2) pair
+    aggregation, one label-count aggregation, then per-community arithmetic
+    and a single-row final agg — two shuffles total, no driver iteration
+    over communities.
+    """
+    lab = labels.select("id", "label").filter(F.col("label") >= 0)
+    l_src = lab.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    l_dst = lab.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    e = edges.select("src", "dst", "weight").join(l_src, "src").join(l_dst, "dst")
+    pair = (
+        e.select(
+            F.least("la", "lb").alias("c1"),
+            F.greatest("la", "lb").alias("c2"),
+            "weight",
+        )
+        .groupBy("c1", "c2")
+        .agg(F.sum("weight").alias("w"))
+        .persist()
+    )
+    try:
+        m = pair.agg(F.sum("w")).first()[0] or 0.0
+        sizes = lab.groupBy("label").agg(F.count("*").alias("n"))
+        n_comm = sizes.count()
+        if m == 0 or n_comm == 0:
+            return {"q": 0.0, "qds": 0.0, "conductance": 0.0, "n_communities": n_comm}
+        intra = pair.filter(F.col("c1") == F.col("c2")).select(
+            F.col("c1").alias("c"), F.col("w").alias("w_in")
+        )
+        cross = pair.filter(F.col("c1") != F.col("c2"))
+        out_per = (
+            cross.select(F.col("c1").alias("c"), "w")
+            .union(cross.select(F.col("c2").alias("c"), "w"))
+            .groupBy("c")
+            .agg(F.sum("w").alias("w_out"))
+        )
+        comm = (
+            sizes.select(F.col("label").alias("c"), "n")
+            .join(intra, "c", "left")
+            .join(out_per, "c", "left")
+            .select(
+                "c",
+                "n",
+                F.coalesce(F.col("w_in"), F.lit(0.0)).alias("w_in"),
+                F.coalesce(F.col("w_out"), F.lit(0.0)).alias("w_out"),
+            )
+        )
+        d_c = F.when(
+            F.col("n") > 1, 2.0 * F.col("w_in") / (F.col("n") * (F.col("n") - 1.0))
+        ).otherwise(F.lit(0.0))
+        vol = (2.0 * F.col("w_in") + F.col("w_out")) / (2.0 * m)
+        q_term = F.col("w_in") / m - vol * vol
+        qds_term = (F.col("w_in") / m) * d_c - (vol * d_c) * (vol * d_c)
+        cond_term = F.when(
+            2.0 * F.col("w_in") + F.col("w_out") > 0,
+            F.col("w_out") / (2.0 * F.col("w_in") + F.col("w_out")),
+        ).otherwise(F.lit(0.0))
+        row = comm.agg(
+            F.sum(q_term).alias("q"),
+            F.sum(qds_term).alias("qds_pos"),
+            F.avg(cond_term).alias("cond"),
+        ).first()
+        # split penalty: each unordered cross pair appears once in `cross`
+        # but contributes from both sides → factor 2 folds the 1/(2m) to 1/m
+        n1 = sizes.select(F.col("label").alias("c1"), F.col("n").alias("n1"))
+        n2 = sizes.select(F.col("label").alias("c2"), F.col("n").alias("n2"))
+        sp = (
+            cross.join(n1, "c1")
+            .join(n2, "c2")
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("w") / (m * F.col("n1") * F.col("n2"))
+                ).alias("sp")
+            )
+            .first()["sp"]
+            or 0.0
+        )
+        return {
+            "q": float(row["q"]),
+            "qds": float(row["qds_pos"] - sp),
+            "conductance": float(row["cond"]),
+            "n_communities": n_comm,
+        }
+    finally:
+        pair.unpersist()
+
+
+def partition_community_quality(
+    edges: DataFrame,
+    assignments: DataFrame,
+    lpa_iterations: int = 4,
+) -> dict[str, float]:
+    """Node-weighted average of per-partition (Q, Qds, conductance) over the
+    community structure *within* each partition — the reference's metric
+    pipeline shape: per partition, detect communities on the induced
+    subgraph, score the division, then population-weight the averages
+    (/root/reference/graph_partitioning/utils.py:245-321; wavg at 310-321).
+
+    Divergence (declared): the reference detects communities with
+    Infomap/Louvain subprocesses; the engine uses its own synchronous label
+    propagation (T3) on the intra-partition edge set — one LPA run covers
+    every partition at once because communities cannot cross partitions when
+    cut edges are removed. Assigned nodes untouched by any intra edge become
+    singleton communities (label = own id), as in the reference where every
+    subgraph node belongs to some community.
+    """
+    from ..graph.labelprop import label_propagation
+
+    assigned = assignments.filter(F.col("partition") >= 0).select("id", "partition")
+    a_src = assigned.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
+    a_dst = assigned.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
+    intra = (
+        edges.select("src", "dst", "weight")
+        .join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("p_src") == F.col("p_dst"))
+        .select("src", "dst", "weight", F.col("p_src").alias("partition"))
+        .persist()
+    )
+    try:
+        labels, _ = label_propagation(
+            intra.select("src", "dst", "weight"), max_iter=lpa_iterations
+        )
+        full = (
+            assigned.join(labels.select("id", "label"), "id", "left")
+            .select(
+                "id", "partition", F.coalesce(F.col("label"), F.col("id")).alias("label")
+            )
+        )
+        l_src = full.select(F.col("id").alias("src"), F.col("label").alias("la"))
+        l_dst = full.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+        e = (
+            intra.select("partition", "src", "dst", "weight")
+            .join(l_src, "src")
+            .join(l_dst, "dst")
+        )
+        pair = (
+            e.select(
+                "partition",
+                F.least("la", "lb").alias("c1"),
+                F.greatest("la", "lb").alias("c2"),
+                "weight",
+            )
+            .groupBy("partition", "c1", "c2")
+            .agg(F.sum("weight").alias("w"))
+            .persist()
+        )
+        m_p = pair.groupBy("partition").agg(F.sum("w").alias("m"))
+        sizes = full.groupBy("partition", "label").agg(F.count("*").alias("n"))
+        intra_c = pair.filter(F.col("c1") == F.col("c2")).select(
+            "partition", F.col("c1").alias("label"), F.col("w").alias("w_in")
+        )
+        cross = pair.filter(F.col("c1") != F.col("c2"))
+        out_per = (
+            cross.select("partition", F.col("c1").alias("label"), "w")
+            .union(cross.select("partition", F.col("c2").alias("label"), "w"))
+            .groupBy("partition", "label")
+            .agg(F.sum("w").alias("w_out"))
+        )
+        comm = (
+            sizes.join(intra_c, ["partition", "label"], "left")
+            .join(out_per, ["partition", "label"], "left")
+            .join(m_p, "partition", "left")
+            .select(
+                "partition",
+                "n",
+                F.coalesce(F.col("w_in"), F.lit(0.0)).alias("w_in"),
+                F.coalesce(F.col("w_out"), F.lit(0.0)).alias("w_out"),
+                F.coalesce(F.col("m"), F.lit(0.0)).alias("m"),
+            )
+        )
+        d_c = F.when(
+            F.col("n") > 1, 2.0 * F.col("w_in") / (F.col("n") * (F.col("n") - 1.0))
+        ).otherwise(F.lit(0.0))
+        vol = F.when(
+            F.col("m") > 0,
+            (2.0 * F.col("w_in") + F.col("w_out")) / (2.0 * F.col("m")),
+        ).otherwise(F.lit(0.0))
+        q_term = F.when(F.col("m") > 0, F.col("w_in") / F.col("m")).otherwise(
+            F.lit(0.0)
+        ) - vol * vol
+        qds_term = F.when(F.col("m") > 0, F.col("w_in") / F.col("m")).otherwise(
+            F.lit(0.0)
+        ) * d_c - (vol * d_c) * (vol * d_c)
+        cond_term = F.when(
+            2.0 * F.col("w_in") + F.col("w_out") > 0,
+            F.col("w_out") / (2.0 * F.col("w_in") + F.col("w_out")),
+        ).otherwise(F.lit(0.0))
+        per_part = comm.groupBy("partition").agg(
+            F.sum(q_term).alias("q_pos"),
+            F.sum(qds_term).alias("qds_pos"),
+            F.avg(cond_term).alias("cond"),
+            F.sum("n").alias("pop"),
+        )
+        # per-partition split penalty
+        s1 = sizes.select(
+            "partition", F.col("label").alias("c1"), F.col("n").alias("n1")
+        )
+        s2 = sizes.select(
+            "partition", F.col("label").alias("c2"), F.col("n").alias("n2")
+        )
+        sp = (
+            cross.join(s1, ["partition", "c1"])
+            .join(s2, ["partition", "c2"])
+            .join(m_p, "partition")
+            .groupBy("partition")
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("w") / (F.col("m") * F.col("n1") * F.col("n2"))
+                ).alias("sp")
+            )
+        )
+        rows = (
+            per_part.join(sp, "partition", "left")
+            .select(
+                "partition",
+                "q_pos",
+                (F.col("qds_pos") - F.coalesce(F.col("sp"), F.lit(0.0))).alias("qds"),
+                "cond",
+                "pop",
+            )
+            .collect()
+        )
+        pair.unpersist()
+        total = sum(r["pop"] for r in rows)
+        if not total:
+            return {"q_wavg": 0.0, "qds_wavg": 0.0, "conductance_wavg": 0.0}
+        return {
+            "q_wavg": float(sum(r["q_pos"] * r["pop"] for r in rows) / total),
+            "qds_wavg": float(sum(r["qds"] * r["pop"] for r in rows) / total),
+            "conductance_wavg": float(sum(r["cond"] * r["pop"] for r in rows) / total),
+        }
+    finally:
+        intra.unpersist()
+
+
 def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
     """Normalized mutual information between two labelings ``(id, label)``.
 
@@ -411,13 +666,19 @@ def quality_suite(
     num_partitions: int,
     vertices: DataFrame | None = None,
     loneliness_score_param: float = 1.2,
+    community_metrics: bool = True,
 ) -> dict[str, float]:
-    """The reference's headline metric row (WASTE, CUT RATIO, EDGES CUT,
-    TOTAL COMM VOLUME, RBSE, LONELINESS, modularity Q) in one call —
-    the 12-column vector of graph-partitioning.ipynb cell 0 minus the
-    external-binary metrics (Qds/conductance/MaxPerm are reported by
-    ``modularity`` and cut metrics here; NMI/F-score need a second labeling
-    and are separate calls)."""
+    """The reference's headline metric row (graph-partitioning-fennel.ipynb
+    cell 0) in one call: WASTE, CUT RATIO, EDGES CUT, TOTAL COMM VOLUME,
+    Qds, CONDUCTANCE, RBSE, LONELINESS, plus modularity Q.
+
+    Qds/conductance come from ``partition_community_quality`` (communities
+    via in-engine LPA instead of the reference's Infomap subprocess — the
+    declared substitution) when ``community_metrics`` is on; the division-
+    level Q/Qds/conductance of the partition assignment itself come from
+    ``community_quality``. Of the reference's 12 columns only MAXPERM (an
+    external C scorer, utils.py:602-665) and NMI/F-score (need a second
+    labeling — separate ``nmi``/``fscore`` calls) are not in this row."""
     out = {"waste": waste(assignments, num_partitions, vertices)}
     out.update(cut_metrics(edges, assignments))
     out["rbse"] = rbse(edges, assignments)
@@ -425,4 +686,11 @@ def quality_suite(
         edges, assignments, num_partitions, loneliness_score_param
     )
     out["modularity"] = modularity(edges, assignments)
+    cq = community_quality(
+        edges, assignments.select("id", F.col("partition").alias("label"))
+    )
+    out["qds"] = cq["qds"]
+    out["conductance"] = cq["conductance"]
+    if community_metrics:
+        out.update(partition_community_quality(edges, assignments))
     return out

@@ -39,16 +39,28 @@ def make_sessionizer(gap_seconds: int = 1800, evict: bool = False):
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = -1, 0, 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts = pdf["ts_epoch"].sort_values().to_numpy()
-            for t in ts:
-                t = int(t)
-                if last_ts < 0 or t - last_ts > gap_seconds:
-                    n_sessions += 1
-                last_ts = max(last_ts, t)
-            n_events += len(ts)
+        # applyInPandasWithState may deliver one group's micro-batch as
+        # several unsorted Arrow chunks — concatenate and sort ONCE, then a
+        # vectorized gap scan (np.diff-style running max) replaces the
+        # per-event Python loop; the gap is measured against the running max
+        # seen so far, so late (out-of-order) events never open sessions.
+        import numpy as np
+
+        frames = [pdf["ts_epoch"] for pdf in pdfs if len(pdf)]
+        if frames:
+            arr = np.sort(pd.concat(frames).to_numpy(dtype=np.int64))
+            if last_ts < 0:
+                n_sessions += 1
+                seed, rest = int(arr[0]), arr[1:]
+            else:
+                seed, rest = int(last_ts), arr
+            if rest.size:
+                prev_max = np.maximum.accumulate(
+                    np.concatenate(([seed], rest))
+                )[:-1]
+                n_sessions += int(((rest - prev_max) > gap_seconds).sum())
+            last_ts = max(int(last_ts), int(arr[-1]))
+            n_events += int(arr.size)
         state.update((last_ts, n_sessions, n_events))
         if evict:
             state.setTimeoutDuration(gap_seconds * 1000)

@@ -114,7 +114,7 @@ def test_fennel_respects_fixed(spark):
         assert got[v] == p
 
 
-def test_fennel_singletons_placed_round_robin(spark):
+def test_fennel_singletons_greedy_min_fill(spark):
     # graph plus isolated vertices supplied via the vertices table
     src, dst, w = random_edges(30, 80, seed=51)
     edges = _edges_df(spark, src, dst, w)
@@ -125,9 +125,19 @@ def test_fennel_singletons_placed_round_robin(spark):
     result, _ = fennel_partition(edges, cfg, vertices=vertices)
     got = {r["id"]: r["partition"] for r in result.collect()}
     assert set(got) == set(ids)
-    # isolated nodes all placed, spread across partitions
-    iso_parts = [got[v] for v in iso]
-    assert len(set(iso_parts)) == 4
+    # exact reference semantics (fennel.pyx:142-148): each singleton goes to
+    # the CURRENT min-size partition (ties → smallest id), sizes updating
+    # after every placement — simulate the greedy and compare placements
+    sizes = [0.0] * 4
+    for v, p in got.items():
+        if v not in iso:
+            sizes[p] += 1.0
+    expected = []
+    for v in sorted(iso):
+        p = min(range(4), key=lambda q: (sizes[q], q))
+        expected.append(p)
+        sizes[p] += 1.0
+    assert [got[v] for v in sorted(iso)] == expected
 
 
 def test_ldg_strategy(spark):
