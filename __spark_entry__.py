@@ -10,11 +10,19 @@ identically aliased on both sides; floats are rounded on both sides to
 absorb summation-order noise.
 
 Iterative queries are driver-checkable two ways:
-- bounded forms (``pagerank5``, ``labelprop4``) run a fixed superstep count
-  that chained SQL CTEs reproduce exactly;
+- bounded forms (``pagerank5``, ``labelprop4``, ``fennel_partition``) run a
+  fixed superstep count that chained SQL CTEs reproduce exactly — FENNEL
+  uses the ``bucket_by="mod"`` stream order (portable modular arithmetic)
+  so the oracle replays the exact bucket schedule, sizes, votes and
+  first-max tie-breaks of every superstep;
 - ``components`` runs to convergence and is checked against a recursive-CTE
-  reachability oracle;
-- genuinely order-dependent ops (FENNEL) are exposed rows-only.
+  reachability oracle.
+
+Float parity for FENNEL holds *exactly*: all vote masses / sizes are sums
+of integer-valued doubles (exact at any summation order), α = m·k/n² is one
+integer-ratio division, and both engines evaluate the identical
+``votes − α·size + credit`` expression tree — so scores are bit-identical
+and the (score DESC, partition ASC) tie-break picks the same partition.
 """
 
 from __future__ import annotations
@@ -49,6 +57,8 @@ from graph_partitioning_spark.graph import (
 from graph_partitioning_spark.graph.edges import symmetrize
 from graph_partitioning_spark.partitioning import (
     FennelConfig,
+    best_of,
+    community_quality,
     cut_metrics,
     fennel_partition,
     loneliness_wavg,
@@ -158,6 +168,104 @@ l{i} AS (
 )"""
         )
     return ",\n".join(parts)
+
+
+def _fennel_cte(iters: int, buckets: int, k: int, seed: int = 0, p: str = "f") -> tuple[str, str]:
+    """Chained-CTE replay of the engine's bounded FENNEL restream
+    (bucket_by="mod", no fixed nodes, unit node weights). One CTE block per
+    bucket superstep: sizes → best-empty pick → votes (bucket-pruned, the
+    same pruning the engine does) → candidates (votes ∪ prev ∪ best-empty)
+    → score argmax with (score DESC, partition ASC) tie-break → state merge.
+    Returns (cte_sql, final_state_name); the final state is (id, p, bucket).
+    """
+    parts = [
+        f"{p}_nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts)",
+        f"{p}_mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM edges)",
+        f"""{p}_al AS MATERIALIZED (SELECT CAST((SELECT m FROM {p}_mm) * {k} AS DOUBLE)
+  / CAST((SELECT n FROM {p}_nn) * (SELECT n FROM {p}_nn) AS DOUBLE) AS a)""",
+        f"{p}_s0 AS MATERIALIZED (SELECT id, -1 AS p, CAST((id + {seed}) % {buckets} AS INT) AS bucket FROM verts)",
+    ]
+    step = 0
+    for _ in range(iters):
+        for b in range(buckets):
+            step += 1
+            s, ps = step, step - 1
+            parts.append(
+                f"{p}_sz{s} AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS DOUBLE) AS sz "
+                f"FROM {p}_s{ps} WHERE p >= 0 GROUP BY p)"
+            )
+            parts.append(
+                f"""{p}_be{s} AS MATERIALIZED (
+  SELECT q.pp AS p FROM (SELECT unnest(range({k})) AS pp) q
+  LEFT JOIN {p}_sz{s} z ON z.p = q.pp
+  ORDER BY COALESCE(z.sz, 0), q.pp LIMIT 1)"""
+            )
+            parts.append(
+                f"""{p}_vt{s} AS MATERIALIZED (
+  SELECT e.src AS id, st.p AS vp,
+         SUM(CASE WHEN e.weight <= 0 THEN 1.0 ELSE e.weight END) AS v
+  FROM sym e JOIN {p}_s{ps} st ON st.id = e.dst AND st.p >= 0
+  WHERE (e.src + {seed}) % {buckets} = {b}
+  GROUP BY 1, 2)"""
+            )
+            parts.append(
+                f"{p}_mv{s} AS MATERIALIZED (SELECT id, p AS prev FROM {p}_s{ps} WHERE bucket = {b})"
+            )
+            parts.append(
+                f"""{p}_cd{s} AS MATERIALIZED (
+  SELECT id, prev, cand, MAX(v) AS v FROM (
+    SELECT m.id, m.prev, v.vp AS cand, v.v
+    FROM {p}_mv{s} m JOIN {p}_vt{s} v ON v.id = m.id
+    UNION ALL
+    SELECT id, prev, prev AS cand, 0.0 AS v FROM {p}_mv{s} WHERE prev >= 0
+    UNION ALL
+    SELECT id, prev, (SELECT p FROM {p}_be{s}) AS cand, 0.0 AS v FROM {p}_mv{s}
+  ) GROUP BY 1, 2, 3)"""
+            )
+            parts.append(
+                f"""{p}_dc{s} AS MATERIALIZED (
+  SELECT id, cand FROM (
+    SELECT c.id, c.cand,
+           ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+             c.v - (SELECT a FROM {p}_al) * COALESCE(z.sz, 0.0)
+               + CASE WHEN c.cand = c.prev THEN (SELECT a FROM {p}_al) ELSE 0.0 END DESC,
+             c.cand ASC) AS rn
+    FROM {p}_cd{s} c LEFT JOIN {p}_sz{s} z ON z.p = c.cand
+  ) WHERE rn = 1)"""
+            )
+            parts.append(
+                f"""{p}_s{s} AS MATERIALIZED (
+  SELECT st.id, CAST(COALESCE(d.cand, st.p) AS INT) AS p, st.bucket
+  FROM {p}_s{ps} st LEFT JOIN {p}_dc{s} d ON d.id = st.id)"""
+            )
+    return ",\n".join(parts), f"{p}_s{step}"
+
+
+def _fennel_quality_cte(final: str, p: str, run: int, k: int) -> str:
+    """Quality row (waste / edges_cut / cut_ratio / tcv) of a FENNEL chain's
+    final state — the same formulas as the cut_quality oracle."""
+    return f"""{p}_lab AS MATERIALIZED (
+  SELECT e.src, e.dst, a1.p AS p_src, a2.p AS p_dst
+  FROM edges e JOIN {final} a1 ON a1.id = e.src JOIN {final} a2 ON a2.id = e.dst),
+{p}_cut AS MATERIALIZED (SELECT * FROM {p}_lab WHERE p_src <> p_dst),
+{p}_tcv AS (
+  SELECT COALESCE(SUM(steps), 0)::BIGINT AS v FROM (
+    SELECT id, COUNT(DISTINCT fp) AS steps FROM (
+      SELECT src AS id, p_dst AS fp FROM {p}_cut
+      UNION
+      SELECT dst AS id, p_src AS fp FROM {p}_cut
+    ) GROUP BY id
+  )),
+{p}_bal AS (
+  SELECT MAX(sz * 1.0 / (SELECT n FROM {p}_nn)) AS mx,
+         SUM(sz * 1.0 / (SELECT n FROM {p}_nn)) AS tot
+  FROM (SELECT p, COUNT(*) AS sz FROM {final} WHERE p >= 0 GROUP BY p)),
+{p}_row AS (
+  SELECT {run} AS run,
+         ROUND({k} * (SELECT mx FROM {p}_bal) - (SELECT tot FROM {p}_bal), 6) AS waste,
+         (SELECT COUNT(*) FROM {p}_cut) AS edges_cut,
+         ROUND((SELECT COUNT(*) FROM {p}_cut) * 1.0 / (SELECT COUNT(*) FROM {p}_lab), 6) AS cut_ratio,
+         (SELECT v FROM {p}_tcv) AS tcv)"""
 
 
 _SHINGLE_CTE = """
@@ -289,12 +397,26 @@ def q_modularity(spark, sf_dir):
     return spark.createDataFrame([(round(modularity(e, a), 6),)], "modularity double")
 
 
-def _fennel_assign(spark, sf_dir):
-    key = f"{sf_dir}::fennel"
+# FENNEL gate configuration: bounded and fully deterministic so the DuckDB
+# oracle can replay it as chained CTEs (one block of CTEs per bucket
+# superstep). "mod" bucketing = (id + seed) % FENNEL_BUCKETS.
+FENNEL_ITERS = 2
+FENNEL_BUCKETS = 8
+
+
+def _fennel_assign(spark, sf_dir, seed: int = 0):
+    key = f"{sf_dir}::fennel::{seed}"
     if key not in _EDGE_CACHE:
         e = copurchase_edges(spark, sf_dir)
         assign, _ = fennel_partition(
-            e, FennelConfig(num_partitions=K_PARTS, num_iterations=2, micro_batches=4)
+            e,
+            FennelConfig(
+                num_partitions=K_PARTS,
+                num_iterations=FENNEL_ITERS,
+                micro_batches=FENNEL_BUCKETS,
+                bucket_by="mod",
+                bucket_seed=seed,
+            ),
         )
         _EDGE_CACHE[key] = assign
     return _EDGE_CACHE[key]
@@ -312,6 +434,74 @@ def q_fennel_quality(spark, sf_dir):
     return spark.createDataFrame(
         [(round(w, 6), round(cm["cut_ratio"], 6), int(cm["edges_cut"]))],
         "waste double, cut_ratio double, edges_cut long",
+    )
+
+
+def q_fennel_best_of(spark, sf_dir):
+    """Best-of-N harness (SURVEY §2.5/F7): 2 bounded runs differing only in
+    bucket seed, keep min TCV (tie → first run), report its quality row."""
+    e = copurchase_edges(spark, sf_dir)
+    assign, info = best_of(
+        e,
+        FennelConfig(
+            num_partitions=K_PARTS,
+            num_iterations=FENNEL_ITERS,
+            micro_batches=FENNEL_BUCKETS,
+            bucket_by="mod",
+        ),
+        n_runs=2,
+        objective="tcv",
+    )
+    chosen = info["candidates"][info["chosen"]]
+    return spark.createDataFrame(
+        [
+            (
+                int(info["chosen"]),
+                round(chosen["waste"], 6),
+                int(chosen["edges_cut"]),
+                round(chosen["cut_ratio"], 6),
+                int(chosen["tcv"]),
+            )
+        ],
+        "run int, waste double, edges_cut long, cut_ratio double, tcv long",
+    )
+
+
+def q_qds_conductance(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    labels = _hash_assignments(spark, sf_dir).select(
+        "id", F.col("partition").alias("label")
+    )
+    cq = community_quality(e, labels)
+    return spark.createDataFrame(
+        [
+            (
+                round(cq["q"], 6),
+                round(cq["qds"], 6),
+                round(cq["conductance"], 6),
+                int(cq["n_communities"]),
+            )
+        ],
+        "q double, qds double, conductance double, n_communities long",
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature plumbing over a deterministic media table derived
+    from ``documents`` (payload = utf-8 text bytes). The fake-decode
+    features are dyadic rationals — exact in float32 and float64 — so every
+    component hash-matches the DuckDB oracle with no rounding slack."""
+    from graph_partitioning_spark.data.multimodal import extract_features
+
+    media = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(media, fake_decode=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "fp_md5",
+        F.posexplode(F.col("feature").cast("array<double>")).alias("dim", "value"),
     )
 
 
@@ -343,16 +533,31 @@ def q_near_dup_jaccard(spark, sf_dir):
     )
 
 
+def _minhash_sigs(spark, sf_dir):
+    """Signatures computed once and cached — both the minhash and lsh_pairs
+    queries consume them, so the (dominant) shingle+hash pass is paid once."""
+    key = f"{sf_dir}::minhash_sigs"
+    if key not in _EDGE_CACHE:
+        sigs = minhash_signatures(
+            _read(spark, sf_dir, "documents"), num_hashes=16, k=5
+        ).persist()
+        _EDGE_CACHE[key] = sigs
+    return _EDGE_CACHE[key]
+
+
 def q_minhash(spark, sf_dir):
-    sigs = minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=16, k=5)
-    return sigs.select(
+    return _minhash_sigs(spark, sf_dir).select(
         "doc_id", F.posexplode("sig").alias("seed", "minhash")
     )
 
 
 def q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(
-        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=5
+        _read(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        k=5,
+        signatures=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -486,6 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "fennel_partition": q_fennel_partition,
         "fennel_quality": q_fennel_quality,
+        "fennel_best_of": q_fennel_best_of,
+        "qds_conductance": q_qds_conductance,
+        "media_features": q_media_features,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -521,7 +729,92 @@ def oracle_sql() -> dict[str, str]:
 
     en_stop = _sql_list(_STOP["en"])
 
+    f_cte, f_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=0, p="f")
+    g0_cte, g0_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=0, p="g0")
+    g1_cte, g1_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=1, p="g1")
+
     return {
+        "fennel_partition": f"""WITH {EDGES_CTE},
+{f_cte}
+SELECT id, p AS partition FROM {f_final}""",
+        "fennel_quality": f"""WITH {EDGES_CTE},
+{f_cte},
+{_fennel_quality_cte(f_final, "f", 0, K_PARTS)}
+SELECT waste, cut_ratio, edges_cut FROM f_row""",
+        "fennel_best_of": f"""WITH {EDGES_CTE},
+{g0_cte},
+{g1_cte},
+{_fennel_quality_cte(g0_final, "g0", 0, K_PARTS)},
+{_fennel_quality_cte(g1_final, "g1", 1, K_PARTS)}
+SELECT run, waste, edges_cut, cut_ratio, tcv FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY tcv ASC, run ASC) AS rn
+  FROM (SELECT * FROM g0_row UNION ALL SELECT * FROM g1_row)
+) WHERE rn = 1""",
+        "qds_conductance": f"""WITH {EDGES_CTE},
+lab AS (
+  SELECT e.weight, CAST(e.src % {K_PARTS} AS INT) AS la, CAST(e.dst % {K_PARTS} AS INT) AS lb
+  FROM edges e
+),
+pair AS (
+  SELECT LEAST(la, lb) AS c1, GREATEST(la, lb) AS c2, SUM(weight) AS w
+  FROM lab GROUP BY 1, 2
+),
+mm AS (SELECT SUM(w) AS m FROM pair),
+csizes AS (SELECT CAST(id % {K_PARTS} AS INT) AS c, COUNT(*) AS n FROM verts GROUP BY 1),
+cintra AS (SELECT c1 AS c, w AS w_in FROM pair WHERE c1 = c2),
+coutp AS (
+  SELECT c, SUM(w) AS w_out FROM (
+    SELECT c1 AS c, w FROM pair WHERE c1 <> c2
+    UNION ALL
+    SELECT c2 AS c, w FROM pair WHERE c1 <> c2
+  ) GROUP BY c
+),
+comm AS (
+  SELECT s.c, s.n, COALESCE(i.w_in, 0) AS w_in, COALESCE(o.w_out, 0) AS w_out
+  FROM csizes s LEFT JOIN cintra i ON i.c = s.c LEFT JOIN coutp o ON o.c = s.c
+),
+terms AS (
+  SELECT
+    w_in / (SELECT m FROM mm)
+      - ((2.0*w_in + w_out)/(2.0*(SELECT m FROM mm))) * ((2.0*w_in + w_out)/(2.0*(SELECT m FROM mm))) AS q_term,
+    (w_in / (SELECT m FROM mm)) * (CASE WHEN n > 1 THEN 2.0*w_in/(n*(n-1.0)) ELSE 0.0 END)
+      - (((2.0*w_in + w_out)/(2.0*(SELECT m FROM mm))) * (CASE WHEN n > 1 THEN 2.0*w_in/(n*(n-1.0)) ELSE 0.0 END))
+        * (((2.0*w_in + w_out)/(2.0*(SELECT m FROM mm))) * (CASE WHEN n > 1 THEN 2.0*w_in/(n*(n-1.0)) ELSE 0.0 END)) AS qds_term,
+    CASE WHEN 2.0*w_in + w_out > 0 THEN w_out/(2.0*w_in + w_out) ELSE 0.0 END AS cond_term
+  FROM comm
+),
+sp AS (
+  SELECT COALESCE(SUM(p.w * p.w / ((SELECT m FROM mm) * s1.n * s2.n)), 0) AS sp
+  FROM pair p JOIN csizes s1 ON s1.c = p.c1 JOIN csizes s2 ON s2.c = p.c2
+  WHERE p.c1 <> p.c2
+)
+SELECT ROUND(SUM(q_term), 6) AS q,
+       ROUND(SUM(qds_term) - (SELECT sp FROM sp), 6) AS qds,
+       ROUND(AVG(cond_term), 6) AS conductance,
+       (SELECT COUNT(*) FROM csizes) AS n_communities
+FROM terms""",
+        "media_features": """WITH d AS (
+  -- payload = utf-8 bytes of text; DuckDB hashes VARCHARs as their utf-8
+  -- bytes, so md5(text)/sha256(text) equal the engine's payload digests
+  SELECT doc_id AS media_id, octet_length(encode(text))::INT AS n_bytes,
+         md5(text) AS fp_md5, sha256(text) AS hx
+  FROM documents
+),
+db AS (
+  SELECT media_id, n_bytes, fp_md5,
+         list_transform(range(32), i -> ('0x' || substr(hx, (2*i+1)::INT, 2))::BIGINT) AS bytes
+  FROM d
+),
+f AS (
+  SELECT media_id, n_bytes, fp_md5,
+         list_concat(
+           [list_sum(bytes)/8192.0, list_sum(bytes)/8192.0, list_sum(bytes)/8192.0],
+           list_transform(range(13), j -> bytes[(j+1)::INT] / 256.0)
+         ) AS feature
+  FROM db
+)
+SELECT media_id, n_bytes, fp_md5, r.dim::INT AS dim, f.feature[(r.dim+1)::INT] AS value
+FROM f, (SELECT unnest(range(16)) AS dim) r""",
         "copurchase_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
         "part_degrees": f"""WITH {EDGES_CTE}
 SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src""",

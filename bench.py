@@ -58,12 +58,15 @@ def main() -> None:
         "labelprop4",
         "triangle_total",
         "cut_quality",
-        "fennel_quality",
+        "qds_conductance",
+        "fennel_partition",   # the full bounded FENNEL run (16 supersteps)
+        "fennel_quality",     # its quality row (warm assignment)
         "doc_quality",
         "doc_langid",
         "minhash",
         "lsh_pairs",
         "simhash",
+        "media_features",
         "ann_topk",
         "events_hourly",
         "user_sessions",

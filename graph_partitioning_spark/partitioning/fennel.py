@@ -82,6 +82,11 @@ class FennelConfig:
     # "degree_hl" / "leverage_hl" (high-first centrality buckets)
     bucket_by: str = "hash"
     bucket_seed: int = 0                # varies the stream order (best-of-N runs)
+    # below this vertex count the per-step joins broadcast the (small)
+    # state/decision sides instead of shuffling — a barrier-count
+    # optimization for modest graphs; web-scale runs exceed it and take the
+    # shuffle path with AQE skew handling
+    broadcast_state_max: int = 5_000_000
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -117,11 +122,25 @@ def _sizes_map(assignments: DataFrame, weights: DataFrame | None, k: int) -> lis
     return sizes
 
 
-def _votes(sym_edges: DataFrame, assignments: DataFrame, salt_buckets: int) -> DataFrame:
-    """(id, partition, votes) for every node with ≥1 assigned neighbor."""
+def _votes(
+    sym_edges: DataFrame,
+    assignments: DataFrame,
+    salt_buckets: int,
+    broadcast: bool = False,
+) -> DataFrame:
+    """(id, partition, votes) for every node with ≥1 assigned neighbor.
+
+    ``broadcast``: hint the (id, partition) side into a broadcast hash join
+    — the caller enables it only when the vertex count is small enough
+    (fennel_partition's ``n <= BROADCAST_STATE_MAX``); at web scale the
+    state is billions of rows and the join must shuffle (with AQE skew
+    handling + optional salting).
+    """
     nbr = assignments.filter(F.col("partition") >= 0).select(
         F.col("id").alias("dst"), F.col("partition")
     )
+    if broadcast:
+        nbr = F.broadcast(nbr)
     e = sym_edges.withColumn(
         "w", F.when(F.col("weight") <= 0.0, F.lit(1.0)).otherwise(F.col("weight"))
     )
@@ -157,21 +176,68 @@ def fennel_partition(
     (the reference's ``fixed`` vector, fennel.pyx:128-131).
 
     Returns (assignments(id, partition), info).
+
+    The whole run is conf-scoped: a FENNEL run is dozens of tiny bounded
+    queries, for which per-stage AQE re-planning and wide shuffles cost
+    more than they save (measured 2.7x wall-clock at sf0.1) — so below the
+    ``broadcast_state_max`` size gate the session runs with AQE off and few
+    shuffle partitions, restored on exit. Web-scale runs keep AQE + full
+    parallelism + the shuffle join paths.
     """
+    spark = edges.sparkSession
+    m_hint = edges.count()
+    saved_conf: dict[str, str] = {}
+    if m_hint <= config.broadcast_state_max:
+        for key, val in (
+            ("spark.sql.adaptive.enabled", "false"),
+            (
+                "spark.sql.shuffle.partitions",
+                str(min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)),
+            ),
+        ):
+            saved_conf[key] = spark.conf.get(key)
+            spark.conf.set(key, val)
+    try:
+        return _fennel_partition_impl(
+            edges, config, vertices, initial, fixed, checkpointer, resume
+        )
+    finally:
+        for key, val in saved_conf.items():
+            spark.conf.set(key, val)
+
+
+def _fennel_partition_impl(
+    edges: DataFrame,
+    config: FennelConfig,
+    vertices: DataFrame | None,
+    initial: DataFrame | None,
+    fixed: DataFrame | None,
+    checkpointer: CheckpointManager | None,
+    resume: bool,
+) -> tuple[DataFrame, dict[str, Any]]:
     spark = edges.sparkSession
     k = config.num_partitions
 
     sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    all_ids = (
-        sym.select(F.col("src").alias("id")).distinct()
-    )
+    # ONE degree aggregation serves four pre-loop needs that a naive setup
+    # pays separate shuffles for: the edge-vertex set (all_ids /
+    # has_edge), the vertex count, and the skew ratio
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    deg_row = deg.agg(
+        F.count("*").alias("n"), F.max("_deg").alias("mx"), F.avg("_deg").alias("av")
+    ).first()
+    n_edge_verts = int(deg_row["n"] or 0)
+    edge_ids = deg.select("id")
+
+    all_ids = edge_ids
     if vertices is not None:
         all_ids = all_ids.join(vertices.select("id"), "id", "full").select("id").distinct()
     weights = (
         vertices.select("id", "weight") if vertices is not None else None
     )
 
-    n = all_ids.count()
+    n = all_ids.count() if vertices is not None else n_edge_verts
     m = edges.count()
     if n == 0:
         return spark.createDataFrame([], "id long, partition int"), {
@@ -216,9 +282,7 @@ def fennel_partition(
     # degree-0 nodes are deferred out of the stream entirely (the reference
     # skips them and places them last, fennel.pyx:133-137) — otherwise every
     # one of them would chase ``best_empty`` during the iterations
-    with_edges = sym.select(F.col("src").alias("id")).distinct().withColumn(
-        "_has_edge", F.lit(True)
-    )
+    with_edges = edge_ids.withColumn("_has_edge", F.lit(True))
     state = (
         state.join(with_edges, "id", "left")
         .withColumn("has_edge", F.coalesce(F.col("_has_edge"), F.lit(False)))
@@ -255,6 +319,14 @@ def fennel_partition(
     else:
         state = state.withColumn("bucket", _bucket_expr(F.col("id"), config))
     state = state.withColumn("_changed", F.lit(False))
+    # the node weight rides IN the state so per-step size/stat aggregations
+    # and the LDG score never re-join the vertices table
+    if weights is not None:
+        state = state.join(
+            weights.select("id", F.col("weight").alias("_w")), "id", "left"
+        ).withColumn("w", F.coalesce(F.col("_w"), F.lit(1.0))).drop("_w")
+    else:
+        state = state.withColumn("w", F.lit(1.0))
 
     counters = Counters()
     start_iter = 0
@@ -264,19 +336,35 @@ def fennel_partition(
             start_iter = manifest["superstep"]
             counters = Counters.from_dict(manifest["counters"])
             state = checkpointer.load_states(spark, manifest)["assignments"]
+            if "w" not in state.columns:  # checkpoint from an older layout
+                if weights is not None:
+                    state = state.join(
+                        weights.select("id", F.col("weight").alias("_w")), "id", "left"
+                    ).withColumn("w", F.coalesce(F.col("_w"), F.lit(1.0))).drop("_w")
+                else:
+                    state = state.withColumn("w", F.lit(1.0))
     state = materialize(state)
+    release(deg)
 
-    deg_stats = (
-        sym.groupBy("src").agg(F.count("*").alias("d"))
-        .agg(F.max("d").alias("mx"), F.avg("d").alias("av")).first()
-    )
-    counters.skew_ratio = float(deg_stats["mx"]) / max(float(deg_stats["av"]), 1e-12)
+    counters.skew_ratio = float(deg_row["mx"] or 0.0) / max(float(deg_row["av"] or 0.0), 1e-12)
 
-    node_w = (
-        F.coalesce(F.col("node_weight"), F.lit(1.0))
-        if weights is not None
-        else F.lit(1.0)
-    )
+    node_w = F.col("node_weight")
+
+    def _stats(s: DataFrame) -> tuple[list[float], int]:
+        """Weighted partition sizes AND changed-count in ONE aggregation —
+        per bucket step this replaces two separate jobs (the dominant
+        fixed cost of a step once the votes join is bucket-pruned)."""
+        rows = s.groupBy("partition").agg(
+            F.sum("w").alias("sz"),
+            F.sum(F.col("_changed").cast("long")).alias("ch"),
+        ).collect()
+        sizes = [0.0] * k
+        changed = 0
+        for r in rows:
+            if r["partition"] is not None and r["partition"] >= 0:
+                sizes[r["partition"]] = float(r["sz"])
+            changed += int(r["ch"])
+        return sizes, changed
 
     import os as _os
     import time as _time
@@ -284,87 +372,121 @@ def fennel_partition(
     _debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG"))
     it = start_iter
     changed_last = -1
-    while it < config.num_iterations:
-        it += 1
-        changed_this_iter = 0
-        for b in range(config.micro_batches):
-            _t0 = _time.time()
-            sizes = _sizes_map(state, weights, k)
-            _t1 = _time.time()
-            # best zero-vote partition: smallest size, smallest index on ties
-            best_empty = min(range(k), key=lambda p: (sizes[p], p))
+    sizes, _ = _stats(state)
+    # Micro-batch supersteps are many tiny bounded queries; per-stage AQE
+    # re-planning and wide shuffles cost more than they save at that shape
+    # (measured 2.7x wall-clock at sf0.1), so under the same size gate as
+    # the broadcast fast path the loop runs with AQE off and few shuffle
+    # partitions, restoring the session conf afterwards. Web-scale runs
+    # (n > broadcast_state_max) keep AQE + full parallelism.
+    small = n <= config.broadcast_state_max
+    _saved_conf = {}
+    if small:
+        for key, val in (
+            ("spark.sql.adaptive.enabled", "false"),
+            (
+                "spark.sql.shuffle.partitions",
+                str(min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)),
+            ),
+        ):
+            _saved_conf[key] = spark.conf.get(key)
+            spark.conf.set(key, val)
+    try:
+        while it < config.num_iterations:
+            it += 1
+            changed_this_iter = 0
+            for b in range(config.micro_batches):
+                _t0 = _time.time()
+                _t1 = _time.time()
+                # best zero-vote partition: smallest size, smallest index on ties
+                best_empty = min(range(k), key=lambda p: (sizes[p], p))
 
-            movable = state.filter(
-                (~F.col("fixed")) & (F.col("bucket") == b) & F.col("has_edge")
-            )
-            # votes pruning: only bucket-b movable nodes consume votes, so
-            # restrict the vote aggregation's *input edges* to that bucket's
-            # sources BEFORE the join+agg — otherwise every bucket step pays
-            # the full-graph shuffle and discards (micro_batches−1)/micro of
-            # it (Catalyst cannot push the bucket predicate through the
-            # aggregation). For id-computable bucketings this is a free
-            # filter on the cached edge table (no extra shuffle); fixed
-            # nodes sharing the bucket still aggregate — the movable join
-            # below discards those few rows, which is far cheaper than a
-            # semi-join shuffle to exclude them. Centrality bucketings fall
-            # back to a semi-join against the movable ids.
-            if config.bucket_by in ("hash", "mod"):
-                active_edges = sym.filter(_bucket_expr(F.col("src"), config) == b)
-            else:
-                active_edges = sym.join(
-                    movable.select(F.col("id").alias("src")), "src", "left_semi"
+                movable = state.filter(
+                    (~F.col("fixed")) & (F.col("bucket") == b) & F.col("has_edge")
                 )
-            votes = _votes(active_edges, state, config.salt_buckets).select(
-                "id", F.col("partition").alias("vp"), "votes"
-            )
-            cand = movable.join(votes, "id", "left").select(
-                "id",
-                F.col("partition").alias("prev"),
-                F.coalesce(F.col("vp"), F.lit(best_empty)).alias("cand"),
-                F.coalesce(F.col("votes"), F.lit(0.0)).alias("votes"),
-            )
-            # add prev partition + best-empty as explicit candidates (0 votes
-            # unless the votes join already produced them — dedup keeps max)
-            extra_prev = movable.filter(F.col("partition") >= 0).select(
-                "id", F.col("partition").alias("prev"),
-                F.col("partition").alias("cand"), F.lit(0.0).alias("votes"),
-            )
-            extra_empty = movable.select(
-                "id", F.col("partition").alias("prev"),
-                F.lit(best_empty).alias("cand"), F.lit(0.0).alias("votes"),
-            )
-            cand = (
-                cand.unionByName(extra_prev).unionByName(extra_empty)
-                .groupBy("id", "prev", "cand")
-                .agg(F.max("votes").alias("votes"))
-            )
-            if weights is not None:
-                cand = cand.join(
-                    weights.select("id", F.col("weight").alias("node_weight")), "id", "left"
-                )
+                # votes pruning: only bucket-b movable nodes consume votes, so
+                # restrict the vote aggregation's *input edges* to that bucket's
+                # sources BEFORE the join+agg — otherwise every bucket step pays
+                # the full-graph shuffle and discards (micro_batches−1)/micro of
+                # it (Catalyst cannot push the bucket predicate through the
+                # aggregation). For id-computable bucketings this is a free
+                # filter on the cached edge table (no extra shuffle); fixed
+                # nodes sharing the bucket still aggregate — the movable join
+                # below discards those few rows, which is far cheaper than a
+                # semi-join shuffle to exclude them. Centrality bucketings fall
+                # back to a semi-join against the movable ids.
+                if config.bucket_by in ("hash", "mod"):
+                    active_edges = sym.filter(_bucket_expr(F.col("src"), config) == b)
+                else:
+                    active_edges = sym.join(
+                        movable.select(F.col("id").alias("src")), "src", "left_semi"
+                    )
+                votes = _votes(
+                    active_edges, state, config.salt_buckets, broadcast=small
+                ).select("id", F.col("partition").alias("vp"), "votes")
+                # candidate set per node = voted partitions ∪ {prev} ∪
+                # {best_empty}. The argmax by (score DESC, partition ASC) is
+                # computed WITHOUT materializing explicit candidate rows: vote
+                # rows fold to a per-node max struct (score, −cand) in the same
+                # aggregation pass, and the two synthetic candidates (prev with
+                # 0 votes, globally-smallest partition with 0 votes) enter as
+                # expression structs via `greatest` — saving the union + second
+                # groupBy + window sort the naive plan pays per superstep.
+                # A (cand == prev) vote row always scores ≥ the synthetic prev
+                # candidate (votes ≥ 0), so including both never changes the
+                # winner; struct ordering (score, −cand) reproduces the
+                # reference's first-max tie-break (fennel.pyx:89-107) exactly.
+                size_arr = F.array(*[F.lit(s) for s in sizes])
 
-            size_arr = F.array(*[F.lit(s) for s in sizes])
-            size_of_cand = F.element_at(size_arr, F.col("cand").cast("int") + 1)
-            if config.strategy == "ldg":
-                score = F.col("votes") * (F.lit(capacity) - size_of_cand - node_w)
-            else:
-                score = (
-                    F.col("votes")
-                    - F.lit(alpha) * size_of_cand
-                    + F.when(F.col("cand") == F.col("prev"), F.lit(alpha)).otherwise(F.lit(0.0))
+                def _score(cand_col, votes_col, prev_col, w_col):
+                    size_of_cand = F.element_at(size_arr, cand_col.cast("int") + 1)
+                    if config.strategy == "ldg":
+                        return votes_col * (F.lit(capacity) - size_of_cand - w_col)
+                    return (
+                        votes_col
+                        - F.lit(alpha) * size_of_cand
+                        + F.when(cand_col == prev_col, F.lit(alpha)).otherwise(F.lit(0.0))
+                    )
+
+                def _cand_struct(cand_col, votes_col, prev_col, w_col):
+                    return F.struct(
+                        _score(cand_col, votes_col, prev_col, w_col).alias("s"),
+                        (-cand_col).cast("int").alias("nc"),
+                    )
+
+                mv = movable.select(
+                    "id", F.col("partition").alias("prev"), F.col("w").alias("node_weight")
                 )
-            pick = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cand"))
-            decided = (
-                cand.withColumn("score", score)
-                .withColumn("rn", F.row_number().over(pick))
-                .filter(F.col("rn") == 1)
-                .select("id", F.col("cand").alias("new_partition"), "prev")
-            )
-            _t2 = _time.time()
-            # one materialization per superstep: the changed flag rides along
-            # so counting it afterwards hits the cached state, not the join
-            new_state = materialize(
-                state.join(decided, "id", "left").select(
+                # LEFT join preserves mv, so the broadcastable side is votes
+                vj = mv.join(F.broadcast(votes) if small else votes, "id", "left")
+                vote_struct = F.when(
+                    F.col("vp").isNotNull(),
+                    _cand_struct(F.col("vp"), F.col("votes"), F.col("prev"), node_w),
+                )
+                best_vote = vj.groupBy("id", "prev", "node_weight").agg(
+                    F.max(vote_struct).alias("bv")
+                )
+                prev_struct = F.when(
+                    F.col("prev") >= 0,
+                    _cand_struct(F.col("prev"), F.lit(0.0), F.col("prev"), node_w),
+                )
+                empty_struct = _cand_struct(
+                    F.lit(best_empty), F.lit(0.0), F.col("prev"), node_w
+                )
+                best = F.greatest(F.col("bv"), prev_struct, empty_struct)
+                decided = best_vote.select(
+                    "id", (-best["nc"]).alias("new_partition"), "prev"
+                )
+                _t2 = _time.time()
+                # two jobs per superstep: (1) cache fill (count — must precede
+                # the localCheckpoint so it carries the cache's real stats, not
+                # compounding plan estimates), (2) the stats aggregation, which
+                # doubles as the LAZY checkpoint's materializing action — the
+                # dedicated eager-checkpoint job the naive loop pays is folded
+                # away. The changed flag rides in the state so no third job.
+                plan = state.join(
+                    F.broadcast(decided) if small else decided, "id", "left"
+                ).select(
                     "id",
                     F.coalesce(F.col("new_partition"), F.col("partition")).alias("partition"),
                     "fixed",
@@ -373,84 +495,89 @@ def fennel_partition(
                     F.coalesce(
                         F.col("new_partition") != F.col("prev"), F.lit(False)
                     ).alias("_changed"),
+                    "w",
+                )
+                cached = plan.persist(StorageLevel.MEMORY_AND_DISK)
+                cached.count()
+                new_state = cached.localCheckpoint(eager=False)
+                _t3 = _time.time()
+                # ONE aggregation delivers this step's changed-count AND the
+                # next step's sizes (and materializes the checkpoint)
+                sizes, changed = _stats(new_state)
+                cached.unpersist()
+                if _debug:
+                    print(
+                        f"[fennel] iter={it} bucket={b} changed={changed} "
+                        f"sizes={_t1 - _t0:.2f} build={_t2 - _t1:.2f} "
+                        f"mat={_t3 - _t2:.2f} cnt={_time.time() - _t3:.2f}",
+                        flush=True,
+                    )
+                changed_this_iter += changed
+                counters.edges_scanned += m * 2
+                counters.messages_exchanged += changed
+                release(state)
+                state = new_state
+
+            if checkpointer is not None and (
+                it % config.checkpoint_every == 0 or it == config.num_iterations
+            ):
+                checkpointer.save(
+                    it,
+                    {"assignments": state},
+                    counters,
+                    params={
+                        "algorithm": "fennel",
+                        "strategy": config.strategy,
+                        "alpha": alpha,
+                        "k": k,
+                        "changed": changed_this_iter,
+                    },
+                )
+            changed_last = changed_this_iter
+            if config.converge_early and changed_this_iter == 0:
+                break
+
+        # singleton placement (degree-0, still unassigned): the reference
+        # re-finds the min-size partition after *each* placement
+        # (fennel.pyx:142-148). Sizes are k scalars, so the greedy min-fill is
+        # simulated exactly on the driver with a heap over (size, partition) —
+        # ties break to the smallest partition id, matching
+        # ``parts.index(min(parts))``. Singletons are consumed in ascending-id
+        # order (our canonical stream order). The collect is bounded by the
+        # degree-0 node count — at web scale isolated vertices are filtered at
+        # extraction (P7), so this set is small by construction.
+        lonely = state.filter(F.col("partition") < 0)
+        if lonely.limit(1).count() > 0:
+            import heapq
+
+            rows = lonely.select("id", F.col("w").alias("_w")).orderBy("id").collect()
+            heap = [(sizes[p], p) for p in range(k)]
+            heapq.heapify(heap)
+            placements = []
+            for r in rows:
+                s, p = heapq.heappop(heap)
+                placements.append((int(r["id"]), p))
+                heapq.heappush(heap, (s + float(r["_w"]), p))
+            placed_df = spark.createDataFrame(placements, "id long, _np int")
+            state = materialize(
+                state.join(placed_df, "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("_np"), F.col("partition")).alias("partition"),
+                    "fixed",
+                    "bucket",
+                    "has_edge",
+                    "_changed",
+                    "w",
                 )
             )
-            _t3 = _time.time()
-            changed = new_state.filter(F.col("_changed")).count()
-            if _debug:
-                print(
-                    f"[fennel] iter={it} bucket={b} changed={changed} "
-                    f"sizes={_t1 - _t0:.2f} build={_t2 - _t1:.2f} "
-                    f"mat={_t3 - _t2:.2f} cnt={_time.time() - _t3:.2f}",
-                    flush=True,
-                )
-            changed_this_iter += changed
-            counters.edges_scanned += m * 2
-            counters.messages_exchanged += changed
-            release(state)
-            state = new_state
 
-        if checkpointer is not None and (
-            it % config.checkpoint_every == 0 or it == config.num_iterations
-        ):
-            checkpointer.save(
-                it,
-                {"assignments": state},
-                counters,
-                params={
-                    "algorithm": "fennel",
-                    "strategy": config.strategy,
-                    "alpha": alpha,
-                    "k": k,
-                    "changed": changed_this_iter,
-                },
-            )
-        changed_last = changed_this_iter
-        if config.converge_early and changed_this_iter == 0:
-            break
+        if config.foaf:
+            state = _foaf_pass(sym, state, alpha, k, weights)
 
-    # singleton placement (degree-0, still unassigned): the reference
-    # re-finds the min-size partition after *each* placement
-    # (fennel.pyx:142-148). Sizes are k scalars, so the greedy min-fill is
-    # simulated exactly on the driver with a heap over (size, partition) —
-    # ties break to the smallest partition id, matching
-    # ``parts.index(min(parts))``. Singletons are consumed in ascending-id
-    # order (our canonical stream order). The collect is bounded by the
-    # degree-0 node count — at web scale isolated vertices are filtered at
-    # extraction (P7), so this set is small by construction.
-    lonely = state.filter(F.col("partition") < 0)
-    if lonely.limit(1).count() > 0:
-        import heapq
 
-        if weights is not None:
-            lonely_w = lonely.join(
-                weights.select("id", F.col("weight").alias("_w")), "id", "left"
-            ).select("id", F.coalesce(F.col("_w"), F.lit(1.0)).alias("_w"))
-        else:
-            lonely_w = lonely.select("id", F.lit(1.0).alias("_w"))
-        rows = lonely_w.orderBy("id").collect()
-        sizes = _sizes_map(state, weights, k)
-        heap = [(sizes[p], p) for p in range(k)]
-        heapq.heapify(heap)
-        placements = []
-        for r in rows:
-            s, p = heapq.heappop(heap)
-            placements.append((int(r["id"]), p))
-            heapq.heappush(heap, (s + float(r["_w"]), p))
-        placed_df = spark.createDataFrame(placements, "id long, _np int")
-        state = materialize(
-            state.join(placed_df, "id", "left").select(
-                "id",
-                F.coalesce(F.col("_np"), F.col("partition")).alias("partition"),
-                "fixed",
-                "bucket",
-                "has_edge",
-                "_changed",
-            )
-        )
-
-    if config.foaf:
-        state = _foaf_pass(sym, state, alpha, k, weights)
+    finally:
+        for key, val in _saved_conf.items():
+            spark.conf.set(key, val)
 
     result = state.select("id", "partition")
     info = {
@@ -580,6 +707,7 @@ def _foaf_pass(
             "bucket",
             "has_edge",
             "_changed",
+            "w",
         )
     )
     return materialize(out)

@@ -108,8 +108,18 @@ def cut_metrics(edges: DataFrame, assignments: DataFrame) -> dict[str, float]:
     Plan: two equi-joins (src, dst) against assignments, then one count and
     one two-level distinct aggregation; the J5 shape from SURVEY.md §2.3.
     """
-    a_src = assignments.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
-    a_dst = assignments.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
+    a = assignments.select("id", "partition")
+    try:
+        # the 2-column assignment table is broadcastable far beyond the
+        # optimizer's conservative stats estimate for checkpointed states —
+        # hint it explicitly when small (≤20M rows ≈ ~250MB); beyond that
+        # the joins shuffle and AQE handles hub skew
+        if a.count() <= 20_000_000:
+            a = F.broadcast(a)
+    except Exception:
+        pass
+    a_src = a.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
+    a_dst = a.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
     labeled = edges.select("src", "dst").join(a_src, "src").join(a_dst, "dst")
     labeled = labeled.persist()
     try:
