@@ -195,3 +195,37 @@ def test_fennel_degree_hl_bucketing(spark):
     # deterministic across runs
     again, _ = fennel_partition(edges, cfg)
     assert got == {r["id"]: r["partition"] for r in again.collect()}
+
+
+def test_best_of_never_worse_than_any_single_run(spark):
+    from graph_partitioning_spark.partitioning import best_of, cut_metrics
+
+    src, dst, w = random_edges(60, 220, seed=81)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=2,
+                       bucket_by="mod")
+    best, info = best_of(edges, cfg, n_runs=3, objective="tcv")
+    # independently recompute each candidate run's TCV
+    singles = []
+    for seed in range(3):
+        from dataclasses import replace
+        assign, _ = fennel_partition(edges, replace(cfg, bucket_seed=seed))
+        singles.append(cut_metrics(edges, assign)["total_comm_volume"])
+    best_tcv = cut_metrics(edges, best)["total_comm_volume"]
+    assert best_tcv == min(singles)
+    assert [c["tcv"] for c in info["candidates"]] == singles
+    assert info["chosen"] == singles.index(min(singles))
+
+
+def test_fennel_leverage_hl_bucketing(spark):
+    src, dst, w = random_edges(80, 300, seed=72)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(
+        num_partitions=3, num_iterations=2, micro_batches=4, bucket_by="leverage_hl"
+    )
+    result, info = fennel_partition(edges, cfg)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+    assert all(0 <= p < 3 for p in got.values())
+    # deterministic across runs
+    again, _ = fennel_partition(edges, cfg)
+    assert got == {r["id"]: r["partition"] for r in again.collect()}

@@ -104,3 +104,74 @@ def test_fscore_relabel_recovers_permutation(spark, fixture):
     assert r["fscore"] < 0.1
     assert r["fscore_relabelled"] == pytest.approx(1.0, abs=1e-9)
     assert r["improvement"] > 0.8
+
+
+def _community_quality_oracle(edge_rows, labels):
+    """Brute-force Q / Qds / conductance (Chen-Kuzmin-Szymanski closed
+    forms) over collected (src, dst, weight) rows and a label dict."""
+    from collections import defaultdict
+
+    w_in = defaultdict(float)
+    w_pair = defaultdict(float)
+    n_c = defaultdict(int)
+    for v, c in labels.items():
+        n_c[c] += 1
+    m = 0.0
+    for s, d, w in edge_rows:
+        la, lb = labels[s], labels[d]
+        m += w
+        if la == lb:
+            w_in[la] += w
+        else:
+            w_pair[(min(la, lb), max(la, lb))] += w
+    w_out = defaultdict(float)
+    for (c1, c2), w in w_pair.items():
+        w_out[c1] += w
+        w_out[c2] += w
+    comms = sorted(n_c)
+    q = qds = cond = 0.0
+    for c in comms:
+        wi, wo, n = w_in[c], w_out[c], n_c[c]
+        vol = (2 * wi + wo) / (2 * m)
+        d_c = 2 * wi / (n * (n - 1)) if n > 1 else 0.0
+        q += wi / m - vol * vol
+        qds += (wi / m) * d_c - (vol * d_c) ** 2
+        cond += wo / (2 * wi + wo) if (2 * wi + wo) > 0 else 0.0
+    sp = sum(
+        w * w / (m * n_c[c1] * n_c[c2]) for (c1, c2), w in w_pair.items()
+    )
+    return q, qds - sp, cond / len(comms)
+
+
+def test_community_quality_oracle(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    labels = a_df.select("id", F.col("partition").alias("label"))
+    got = M.community_quality(edges, labels)
+    edge_rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+    q, qds, cond = _community_quality_oracle(edge_rows, assign)
+    assert got["q"] == pytest.approx(q, rel=1e-9)
+    assert got["qds"] == pytest.approx(qds, rel=1e-9)
+    assert got["conductance"] == pytest.approx(cond, rel=1e-9)
+    assert got["n_communities"] == K
+
+
+def test_partition_community_quality(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    got = M.partition_community_quality(edges, a_df, lpa_iterations=3)
+    assert set(got) == {"q_wavg", "qds_wavg", "conductance_wavg"}
+    assert 0.0 <= got["conductance_wavg"] <= 1.0
+    assert got["qds_wavg"] <= 1.0
+    # deterministic
+    again = M.partition_community_quality(edges, a_df, lpa_iterations=3)
+    assert got == again
+
+
+def test_quality_suite_has_full_metric_row(spark, fixture):
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    row = M.quality_suite(edges, a_df, K)
+    for key in (
+        "waste", "cut_ratio", "edges_cut", "total_comm_volume", "rbse",
+        "loneliness", "modularity", "qds", "conductance",
+        "q_wavg", "qds_wavg", "conductance_wavg",
+    ):
+        assert key in row, key
