@@ -108,14 +108,16 @@ def cut_metrics(edges: DataFrame, assignments: DataFrame) -> dict[str, float]:
     Plan: two equi-joins (src, dst) against assignments, then one count and
     one two-level distinct aggregation; the J5 shape from SURVEY.md §2.3.
     """
-    a = assignments.select("id", "partition")
+    # the 2-column assignment table is broadcastable far beyond the
+    # optimizer's conservative stats estimate for checkpointed states —
+    # hint it explicitly when small (≤20M rows ≈ ~250MB); beyond that the
+    # joins shuffle and AQE handles hub skew. Persisted first so the sizing
+    # count and the broadcast build don't recompute an unmaterialized input.
+    a_cached = assignments.select("id", "partition").persist()
+    a = a_cached
     try:
-        # the 2-column assignment table is broadcastable far beyond the
-        # optimizer's conservative stats estimate for checkpointed states —
-        # hint it explicitly when small (≤20M rows ≈ ~250MB); beyond that
-        # the joins shuffle and AQE handles hub skew
-        if a.count() <= 20_000_000:
-            a = F.broadcast(a)
+        if a_cached.count() <= 20_000_000:
+            a = F.broadcast(a_cached)
     except Exception:
         pass
     a_src = a.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
@@ -141,6 +143,7 @@ def cut_metrics(edges: DataFrame, assignments: DataFrame) -> dict[str, float]:
         )
     finally:
         labeled.unpersist()
+        a_cached.unpersist()
     return {
         "edges_cut": float(edges_cut),
         "cut_ratio": float(edges_cut) / n_edges if n_edges else 0.0,

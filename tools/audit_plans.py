@@ -33,6 +33,32 @@ def main() -> None:
         ]
         sections.append(f"## {name}\n\n{note}\n\n```\n" + "\n".join(keep[:30]) + "\n```\n")
 
+    # --- hard assertions: plans that must NOT contain a single-task funnel ---
+    # arrival ranking (partitioning/arrival.py) must use the range-partition
+    # + per-partition row_number pattern, never a global window: a global
+    # ORDER BY materializes as Exchange SinglePartition
+    import io as _io
+
+    from pyspark.sql import functions as F
+    from graph_partitioning_spark.graph.edges import assign_dense_ids
+
+    arrivals = spark.range(0, 50_000).select(
+        F.col("id"), F.lit(1).alias("arrived"), (F.col("id") * 7 % 50_000).alias("seq")
+    )
+    ranked = assign_dense_ids(
+        arrivals.filter(F.col("arrived") == 1).select("id", "seq"),
+        ["seq", "id"],
+        id_col="arrival_rank",
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("formatted")
+    plan_txt = buf.getvalue()
+    assert "SinglePartition" not in plan_txt, (
+        "arrival ranking plan regressed to a single-task global sort:\n" + plan_txt
+    )
+    print("[audit] arrival ranking: no SinglePartition exchange — OK")
+
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
@@ -46,6 +72,8 @@ def main() -> None:
          "Dimension tables broadcast (no shuffle on the fact side until the final small agg).")
     grab("minhash", e.q_minhash(spark, sf),
          "One md5 per shingle; 16 min-aggregates partial-combined map-side; shuffle is 16 longs per doc.")
+    grab("media_features", e.q_media_features(spark, sf),
+         "Pruned (doc_id, text) scan into one Arrow mapInPandas featurize pass; posexplode JVM-side.")
 
     header = (
         "# PLANS — physical-plan audit of headline queries\n\n"
