@@ -241,6 +241,95 @@ def _fennel_cte(iters: int, buckets: int, k: int, seed: int = 0, p: str = "f") -
     return ",\n".join(parts), f"{p}_s{step}"
 
 
+def _community_wavg_sql(k: int, lpa_iters: int) -> str:
+    """Oracle for q_community_wavg: intra-partition subgraph → bounded LPA
+    (communities cannot cross partitions once cut edges are removed) →
+    per-partition Q/Qds/conductance closed forms → node-weighted wavg."""
+    lpa_chain = ["cl0 AS MATERIALIZED (SELECT id, id AS label FROM iverts)"]
+    for i in range(1, lpa_iters + 1):
+        lpa_chain.append(
+            f"""cv{i} AS MATERIALIZED (
+  SELECT s.src AS id, l.label, SUM(s.weight) AS v
+  FROM isym s JOIN cl{i-1} l ON l.id = s.dst
+  GROUP BY 1, 2
+),
+cl{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC, label ASC) AS rn
+    FROM cv{i}
+  ) WHERE rn = 1
+)"""
+        )
+    lpa = ",\n".join(lpa_chain)
+    return f"""iw AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight, CAST(e.src % {k} AS INT) AS p
+  FROM edges e
+  WHERE CAST(e.src % {k} AS INT) = CAST(e.dst % {k} AS INT)
+),
+isym AS MATERIALIZED (
+  SELECT src, dst, weight FROM iw
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM iw
+),
+iverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM isym),
+{lpa},
+cfull AS MATERIALIZED (
+  SELECT v.id, CAST(v.id % {k} AS INT) AS p, COALESCE(l.label, v.id) AS label
+  FROM verts v LEFT JOIN cl{lpa_iters} l ON l.id = v.id
+),
+cpair AS MATERIALIZED (
+  SELECT i.p, LEAST(la.label, lb.label) AS c1, GREATEST(la.label, lb.label) AS c2,
+         SUM(i.weight) AS w
+  FROM iw i JOIN cfull la ON la.id = i.src JOIN cfull lb ON lb.id = i.dst
+  GROUP BY 1, 2, 3
+),
+cmp AS MATERIALIZED (SELECT p, SUM(w) AS m FROM cpair GROUP BY p),
+csz AS MATERIALIZED (SELECT p, label, COUNT(*) AS n FROM cfull GROUP BY 1, 2),
+cintra AS (SELECT p, c1 AS label, w AS w_in FROM cpair WHERE c1 = c2),
+cout AS (
+  SELECT p, label, SUM(w) AS w_out FROM (
+    SELECT p, c1 AS label, w FROM cpair WHERE c1 <> c2
+    UNION ALL
+    SELECT p, c2 AS label, w FROM cpair WHERE c1 <> c2
+  ) GROUP BY 1, 2
+),
+ccm AS MATERIALIZED (
+  SELECT s.p, s.n, COALESCE(i.w_in, 0) AS w_in, COALESCE(o.w_out, 0) AS w_out,
+         COALESCE(m.m, 0) AS m
+  FROM csz s
+  LEFT JOIN cintra i ON i.p = s.p AND i.label = s.label
+  LEFT JOIN cout o ON o.p = s.p AND o.label = s.label
+  LEFT JOIN cmp m ON m.p = s.p
+),
+cterms AS (
+  SELECT p, n,
+    CASE WHEN m > 0 THEN w_in / m ELSE 0.0 END AS wim,
+    CASE WHEN m > 0 THEN (2.0*w_in + w_out) / (2.0*m) ELSE 0.0 END AS vol,
+    CASE WHEN n > 1 THEN 2.0*w_in / (n*(n-1.0)) ELSE 0.0 END AS dc,
+    CASE WHEN 2.0*w_in + w_out > 0 THEN w_out / (2.0*w_in + w_out) ELSE 0.0 END AS cond
+  FROM ccm
+),
+cpp AS MATERIALIZED (
+  SELECT p, SUM(wim - vol*vol) AS q_pos,
+         SUM(wim*dc - (vol*dc)*(vol*dc)) AS qds_pos,
+         AVG(cond) AS cond, SUM(n) AS pop
+  FROM cterms GROUP BY p
+),
+csp AS MATERIALIZED (
+  SELECT c.p, SUM(c.w * c.w / (m.m * s1.n * s2.n)) AS sp
+  FROM cpair c
+  JOIN csz s1 ON s1.p = c.p AND s1.label = c.c1
+  JOIN csz s2 ON s2.p = c.p AND s2.label = c.c2
+  JOIN cmp m ON m.p = c.p
+  WHERE c.c1 <> c.c2 GROUP BY c.p
+),
+crow AS (
+  SELECT p.p, p.q_pos, p.qds_pos - COALESCE(s.sp, 0) AS qds, p.cond, p.pop
+  FROM cpp p LEFT JOIN csp s ON s.p = p.p
+)"""
+
+
 def _fennel_quality_cte(final: str, p: str, run: int, k: int) -> str:
     """Quality row (waste / edges_cut / cut_ratio / tcv) of a FENNEL chain's
     final state — the same formulas as the cut_quality oracle."""
@@ -486,6 +575,28 @@ def q_qds_conductance(spark, sf_dir):
     )
 
 
+def q_community_wavg(spark, sf_dir):
+    """The reference's full Qds/conductance pipeline (utils.py:245-321):
+    communities detected within each partition (engine LPA, bounded to 2
+    rounds so the oracle can replay them), per-partition Q/Qds/conductance
+    closed forms, node-weighted average across partitions."""
+    from graph_partitioning_spark.partitioning import partition_community_quality
+
+    e = copurchase_edges(spark, sf_dir)
+    a = _hash_assignments(spark, sf_dir)
+    got = partition_community_quality(e, a, lpa_iterations=2)
+    return spark.createDataFrame(
+        [
+            (
+                round(got["q_wavg"], 6),
+                round(got["qds_wavg"], 6),
+                round(got["conductance_wavg"], 6),
+            )
+        ],
+        "q_wavg double, qds_wavg double, conductance_wavg double",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature plumbing over a deterministic media table derived
     from ``documents`` (payload = utf-8 text bytes). The fake-decode
@@ -693,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fennel_quality": q_fennel_quality,
         "fennel_best_of": q_fennel_best_of,
         "qds_conductance": q_qds_conductance,
+        "community_wavg": q_community_wavg,
         "media_features": q_media_features,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -793,6 +905,12 @@ SELECT ROUND(SUM(q_term), 6) AS q,
        ROUND(AVG(cond_term), 6) AS conductance,
        (SELECT COUNT(*) FROM csizes) AS n_communities
 FROM terms""",
+        "community_wavg": f"""WITH {EDGES_CTE},
+{_community_wavg_sql(K_PARTS, 2)}
+SELECT ROUND(SUM(q_pos * pop) / SUM(pop), 6) AS q_wavg,
+       ROUND(SUM(qds * pop) / SUM(pop), 6) AS qds_wavg,
+       ROUND(SUM(cond * pop) / SUM(pop), 6) AS conductance_wavg
+FROM crow""",
         "media_features": """WITH d AS (
   -- payload = utf-8 bytes of text; DuckDB hashes VARCHARs as their utf-8
   -- bytes, so md5(text)/sha256(text) equal the engine's payload digests

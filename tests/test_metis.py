@@ -71,3 +71,47 @@ def test_reference_fixture_counts():
     assert len(edges_w) == 2939
     # weighted variant has non-unit weights
     assert any(w != 1.0 for _, w in nodes_w) or any(w != 1.0 for _, _, w in edges_w)
+
+
+LESMIS_LIKE = """
+# a lesmis-shaped GML snippet
+graph [
+  comment "test graph"
+  directed 0
+  node [ id 0 label "Myriel" ]
+  node [ id 1 label "Napoleon" ]
+  node [ id 2 label "MlleBaptistine" value 2 ]
+  node [
+    id 3
+    label "quoted [bracket] label"
+    graphics [ x 1.5 y 2.5 ]
+  ]
+  edge [ source 1 target 0 value 1 ]
+  edge [ source 2 target 0 value 8 ]
+  edge [ source 3 target 0 ]
+  edge [ source 3 target 2 weight 3.5 ]
+]
+"""
+
+
+def test_read_gml(spark, tmp_path):
+    """S2: GML reader parity with nx.read_gml(label='id') semantics —
+    vertex ids from the id field, edge weight from value/weight (1.0
+    default), nested blocks and quoted labels handled."""
+    from graph_partitioning_spark.sources import read_gml
+
+    path = tmp_path / "g.gml"
+    path.write_text(LESMIS_LIKE)
+    verts, edges = read_gml(spark, str(path))
+    v = {r["id"]: (r["label"], r["weight"]) for r in verts.collect()}
+    assert set(v) == {0, 1, 2, 3}
+    assert v[0] == ("Myriel", 1.0)
+    assert v[2][1] == 2.0           # node value → weight fallback
+    assert "bracket" in v[3][0]
+    e = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
+    assert e == {(1, 0): 1.0, (2, 0): 8.0, (3, 0): 1.0, (3, 2): 3.5}
+    # feeds the standard pipeline: canonical undirect → partitioner input
+    from graph_partitioning_spark.graph.edges import undirect
+
+    und = undirect(edges)
+    assert und.count() == 4
