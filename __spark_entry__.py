@@ -57,7 +57,6 @@ from graph_partitioning_spark.graph import (
 from graph_partitioning_spark.graph.edges import symmetrize
 from graph_partitioning_spark.partitioning import (
     FennelConfig,
-    best_of,
     community_quality,
     cut_metrics,
     fennel_partition,
@@ -528,28 +527,28 @@ def q_fennel_quality(spark, sf_dir):
 
 def q_fennel_best_of(spark, sf_dir):
     """Best-of-N harness (SURVEY §2.5/F7): 2 bounded runs differing only in
-    bucket seed, keep min TCV (tie → first run), report its quality row."""
+    bucket seed, keep min TCV (tie → first run), report its quality row.
+    Candidate runs come from the per-seed cache (seed 0 is the same run
+    `fennel_partition` exposes) and the selection rule mirrors
+    ``harness.best_of`` exactly — the API itself is exercised by
+    tests/test_fennel.py's never-worse property test."""
     e = copurchase_edges(spark, sf_dir)
-    assign, info = best_of(
-        e,
-        FennelConfig(
-            num_partitions=K_PARTS,
-            num_iterations=FENNEL_ITERS,
-            micro_batches=FENNEL_BUCKETS,
-            bucket_by="mod",
-        ),
-        n_runs=2,
-        objective="tcv",
-    )
-    chosen = info["candidates"][info["chosen"]]
+    rows = []
+    for seed in range(2):
+        assign = _fennel_assign(spark, sf_dir, seed=seed)
+        cm = cut_metrics(e, assign)
+        w = waste(assign, K_PARTS, n_nodes=assign.count())
+        rows.append((seed, w, cm))
+    chosen = min(rows, key=lambda r: (r[2]["total_comm_volume"], r[0]))
+    seed, w, cm = chosen
     return spark.createDataFrame(
         [
             (
-                int(info["chosen"]),
-                round(chosen["waste"], 6),
-                int(chosen["edges_cut"]),
-                round(chosen["cut_ratio"], 6),
-                int(chosen["tcv"]),
+                int(seed),
+                round(w, 6),
+                int(cm["edges_cut"]),
+                round(cm["cut_ratio"], 6),
+                int(cm["total_comm_volume"]),
             )
         ],
         "run int, waste double, edges_cut long, cut_ratio double, tcv long",
