@@ -152,3 +152,76 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         query.stop()
     assert rows[1] == (2, 3)   # second session opened across batches
     assert rows[2] == (1, 1)
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Streaming windowed rollup: state carries across micro-batches and an
+    event older than the watermark is dropped by the engine."""
+    import datetime as dt
+
+    from graph_partitioning_spark.streaming import windowed_event_counts
+
+    stream_dir = str(tmp_path / "wevents")
+    os.makedirs(stream_dir)
+    schema = "ts timestamp, event_type string, value double"
+    source = spark.readStream.schema(schema).parquet(stream_dir)
+    out = windowed_event_counts(source, window="1 hour", watermark="30 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wcp"))
+        .start()
+    )
+    try:
+        t0 = dt.datetime(2022, 1, 1, 10, 0, 0)
+        spark.createDataFrame(
+            [(t0, "click", 1.0), (t0 + dt.timedelta(minutes=20), "click", 2.0)],
+            schema,
+        ).write.mode("append").parquet(stream_dir)
+        query.processAllAvailable()
+        # advance event time far past the watermark, then send a LATE event
+        # into the (now-finalized) 10:00 window — it must be dropped
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(hours=3), "click", 5.0)], schema
+        ).write.mode("append").parquet(stream_dir)
+        query.processAllAvailable()
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(minutes=30), "click", 100.0)], schema
+        ).write.mode("append").parquet(stream_dir)
+        query.processAllAvailable()
+        rows = spark.sql(
+            "select window_start, max(n) n, max(sum_value) s from winagg "
+            "group by window_start order by window_start"
+        ).collect()
+    finally:
+        query.stop()
+    by_start = {r["window_start"]: (r["n"], r["s"]) for r in rows}
+    first = by_start[dt.datetime(2022, 1, 1, 10, 0, 0)]
+    assert first == (2, 3.0)   # late 100.0 event dropped, not (3, 103.0)
+    assert by_start[dt.datetime(2022, 1, 1, 13, 0, 0)] == (1, 5.0)
+
+
+def test_windowed_event_counts_batch_mode(spark):
+    """Same operator on a batch frame (watermark no-op) — unit parity."""
+    import datetime as dt
+
+    from graph_partitioning_spark.streaming import windowed_event_counts
+
+    t0 = dt.datetime(2022, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (t0, "a", 1.0),
+            (t0 + dt.timedelta(minutes=59), "a", 2.0),
+            (t0 + dt.timedelta(hours=1), "a", 4.0),
+            (t0, "b", 8.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert got[(t0, "a")] == (2, 3.0)
+    assert got[(t0 + dt.timedelta(hours=1), "a")] == (1, 4.0)
+    assert got[(t0, "b")] == (1, 8.0)
