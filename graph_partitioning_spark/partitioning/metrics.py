@@ -403,6 +403,7 @@ def partition_community_quality(
     edges: DataFrame,
     assignments: DataFrame,
     lpa_iterations: int = 4,
+    use_csr_kernel: bool = False,
 ) -> dict[str, float]:
     """Node-weighted average of per-partition (Q, Qds, conductance) over the
     community structure *within* each partition — the reference's metric
@@ -432,9 +433,19 @@ def partition_community_quality(
         .persist()
     )
     try:
-        labels, _ = label_propagation(
-            intra.select("src", "dst", "weight"), max_iter=lpa_iterations
-        )
+        if use_csr_kernel:
+            # block-local vectorized LPA on per-partition CSR blocks
+            # (plans/csr.local_label_propagation) — exact-parity with the
+            # distributed path (tests/test_csr.py), one Arrow call per
+            # partition instead of lpa_iterations shuffles
+            from ..plans.csr import build_csr_blocks, local_label_propagation
+
+            blocks = build_csr_blocks(edges, assigned)
+            labels = local_label_propagation(blocks, max_iter=lpa_iterations)
+        else:
+            labels, _ = label_propagation(
+                intra.select("src", "dst", "weight"), max_iter=lpa_iterations
+            )
         full = (
             assigned.join(labels.select("id", "label"), "id", "left")
             .select(

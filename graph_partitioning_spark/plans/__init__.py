@@ -1,1 +1,7 @@
-from .csr import CSR_SCHEMA, build_csr_blocks, csr_degrees, local_votes  # noqa: F401
+from .csr import (  # noqa: F401
+    CSR_SCHEMA,
+    build_csr_blocks,
+    csr_degrees,
+    local_label_propagation,
+    local_votes,
+)

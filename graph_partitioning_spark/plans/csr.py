@@ -178,6 +178,70 @@ def csr_degrees(blocks: DataFrame) -> DataFrame:
     return blocks.mapInPandas(run, schema="id long, degree long")
 
 
+def local_label_propagation(blocks: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Synchronous LPA over the INTRA-partition edges of each CSR block —
+    the "algorithm inner loop vectorized on the block" execution style the
+    north star asks for (SURVEY.md §2.7): the whole per-partition iteration
+    runs inside one Arrow call on NumPy arrays, no per-superstep shuffle;
+    cut edges (negative ``indices``) are boundary traffic by construction
+    and excluded, so communities never span partitions — exactly the
+    community-detection step `partition_community_quality` needs.
+
+    Semantics match `graph.labelprop.label_propagation` restricted to the
+    intra edge set bit-for-bit: labels init to vertex ids, each iteration
+    every node with ≥1 intra neighbor adopts the label with max summed
+    edge weight (ties → smallest label), others keep; fixed iteration
+    count with early stop at a fixed point.
+
+    Returns (id, label).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # O(num_partitions) rows; each row is a whole CSR block
+            for _, row in pdf.iterrows():
+                ids = np.asarray(row["vertex_ids"], dtype=np.int64)
+                indptr = np.asarray(row["indptr"], dtype=np.int64)
+                indices = np.asarray(row["indices"], dtype=np.int64)
+                w_all = np.asarray(row["edge_weights"], dtype=np.float64)
+                n = len(ids)
+                if n == 0:
+                    continue
+                owner = np.repeat(np.arange(n), np.diff(indptr))
+                intra = indices >= 0
+                o = owner[intra]
+                nb = indices[intra]
+                w = w_all[intra]
+                labels = ids.copy()
+                for _ in range(max_iter):
+                    if not len(o):
+                        break
+                    lbl = labels[nb]
+                    # sum weights per (owner, label): sort + reduceat
+                    order = np.lexsort((lbl, o))
+                    o_s, l_s, w_s = o[order], lbl[order], w[order]
+                    b = np.empty(len(o_s), dtype=bool)
+                    b[0] = True
+                    b[1:] = (o_s[1:] != o_s[:-1]) | (l_s[1:] != l_s[:-1])
+                    starts = np.flatnonzero(b)
+                    sums = np.add.reduceat(w_s, starts)
+                    go, gl = o_s[starts], l_s[starts]
+                    # per owner: (votes DESC, label ASC) first row wins
+                    sel = np.lexsort((gl, -sums, go))
+                    go2 = go[sel]
+                    first = np.empty(len(go2), dtype=bool)
+                    first[0] = True
+                    first[1:] = go2[1:] != go2[:-1]
+                    new_labels = labels.copy()
+                    new_labels[go2[first]] = gl[sel][first]
+                    if np.array_equal(new_labels, labels):
+                        break
+                    labels = new_labels
+                yield pd.DataFrame({"id": ids, "label": labels})
+
+    return blocks.mapInPandas(run, schema="id long, label long")
+
+
 def local_votes(blocks: DataFrame, assignments: DataFrame, num_partitions: int) -> DataFrame:
     """Per-node FENNEL vote mass computed *inside* each CSR block (A3/J1 as
     a NumPy kernel) for intra-partition neighbors; cut-edge votes are

@@ -94,3 +94,32 @@ def test_drop_cut_edges(spark, setup):
     blocks = build_csr_blocks(edges, a_df, keep_cut_edges=False).collect()
     for b in blocks:
         assert all(ix >= 0 for ix in b["indices"])  # no cut-edge markers
+
+
+def test_local_label_propagation_matches_distributed(spark, setup):
+    """The block-local LPA kernel must reproduce the distributed LPA
+    restricted to intra-partition edges bit-for-bit (same init, same
+    per-iteration sync update, same (votes desc, label asc) tie-break)."""
+    from graph_partitioning_spark.graph.labelprop import label_propagation
+    from graph_partitioning_spark.plans.csr import local_label_propagation
+
+    edges, (src, dst, w), assign, a_df, ids = setup
+    blocks = build_csr_blocks(edges, a_df).persist()
+
+    # distributed twin: LPA over the intra-partition edge set
+    a_src = a_df.select(F.col("id").alias("src"), F.col("partition").alias("ps"))
+    a_dst = a_df.select(F.col("id").alias("dst"), F.col("partition").alias("pd"))
+    intra = (
+        edges.join(a_src, "src").join(a_dst, "dst")
+        .filter(F.col("ps") == F.col("pd"))
+        .select("src", "dst", "weight")
+    )
+    want_df, _ = label_propagation(intra, max_iter=4)
+    want = {r["id"]: r["label"] for r in want_df.collect()}
+
+    got = {r["id"]: r["label"] for r in local_label_propagation(blocks, max_iter=4).collect()}
+    assert set(got) == set(ids)          # kernel covers every block vertex
+    for v in ids:
+        # nodes outside the intra edge set keep their own id as label
+        assert got[v] == want.get(v, v), v
+    blocks.unpersist()

@@ -175,3 +175,16 @@ def test_quality_suite_has_full_metric_row(spark, fixture):
         "q_wavg", "qds_wavg", "conductance_wavg",
     ):
         assert key in row, key
+
+
+def test_partition_community_quality_csr_kernel_parity(spark, fixture):
+    """The CSR-kernel execution path must produce the identical metric row
+    as the distributed-LPA path (the kernel is exact-parity per
+    test_csr.py; this pins the end-to-end wiring)."""
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    dist = M.partition_community_quality(edges, a_df, lpa_iterations=3)
+    csr = M.partition_community_quality(
+        edges, a_df, lpa_iterations=3, use_csr_kernel=True
+    )
+    for key in dist:
+        assert csr[key] == pytest.approx(dist[key], rel=1e-12), key
