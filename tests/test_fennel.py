@@ -229,3 +229,23 @@ def test_fennel_leverage_hl_bucketing(spark):
     # deterministic across runs
     again, _ = fennel_partition(edges, cfg)
     assert got == {r["id"]: r["partition"] for r in again.collect()}
+
+
+def test_fennel_shuffle_path_matches_broadcast_path(spark):
+    """broadcast_state_max=0 forces the web-scale execution path (shuffle
+    joins, AQE left on, no conf scope); assignments must be identical to
+    the small-graph broadcast fast path — the two paths may differ only in
+    physical strategy, never in results."""
+    src, dst, w = random_edges(70, 260, seed=91, weighted=True)
+    edges = _edges_df(spark, src, dst, w)
+    cfg_small = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=2,
+                             bucket_by="mod")
+    from dataclasses import replace
+    cfg_scale = replace(cfg_small, broadcast_state_max=0)
+    a, _ = fennel_partition(edges, cfg_small)
+    b, _ = fennel_partition(edges, cfg_scale)
+    da = {r["id"]: r["partition"] for r in a.collect()}
+    db = {r["id"]: r["partition"] for r in b.collect()}
+    assert da == db
+    # conf scope restored either way
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
