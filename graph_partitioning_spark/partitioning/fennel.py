@@ -361,8 +361,15 @@ def _fennel_partition_impl(
         sizes = [0.0] * k
         changed = 0
         for r in rows:
-            if r["partition"] is not None and r["partition"] >= 0:
-                sizes[r["partition"]] = float(r["sz"])
+            p_ = r["partition"]
+            if p_ is not None and p_ >= 0:
+                if p_ >= k:
+                    raise ValueError(
+                        f"assignment state contains partition id {p_} >= "
+                        f"num_partitions={k} — was the checkpoint written "
+                        "with a different k?"
+                    )
+                sizes[p_] = float(r["sz"])
             changed += int(r["ch"])
         return sizes, changed
 

@@ -249,3 +249,13 @@ def test_fennel_shuffle_path_matches_broadcast_path(spark):
     assert da == db
     # conf scope restored either way
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_fennel_rejects_out_of_range_initial(spark):
+    src, dst, w = random_edges(30, 80, seed=95)
+    edges = _edges_df(spark, src, dst, w)
+    ids = sorted({int(v) for v in np.concatenate([src, dst])})
+    bad = spark.createDataFrame([(ids[0], 7)], "id long, partition int")
+    cfg = FennelConfig(num_partitions=3, num_iterations=1, micro_batches=1)
+    with pytest.raises(ValueError, match="num_partitions"):
+        fennel_partition(edges, cfg, initial=bad)
