@@ -60,8 +60,11 @@ from graph_partitioning_spark.partitioning import (
     community_quality,
     cut_metrics,
     fennel_partition,
+    foaf_reassign,
+    fscore,
     loneliness_wavg,
     modularity,
+    nmi,
     rbse,
     waste,
 )
@@ -555,6 +558,73 @@ def q_fennel_best_of(spark, sf_dir):
     )
 
 
+# FOAF gate configuration: a sparse deterministic seed assignment (every
+# 101st vertex fixed at id%8) leaves most vertices with zero vote mass —
+# exactly the "lonely node" regime the reference invokes FOAF in mid-arrival
+# (fennel.pyx:188-297) — so both stages fire on real data.
+FOAF_SEED_MOD = 101
+
+
+def _foaf_seed_assignment(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    return verts.select(
+        "id",
+        F.when(
+            F.col("id") % FOAF_SEED_MOD == 0, (F.col("id") % K_PARTS).cast("int")
+        ).otherwise(F.lit(-1)).alias("partition"),
+    )
+
+
+def q_fennel_foaf(spark, sf_dir):
+    """F4 friend-of-a-friend reassignment, oracle-grade: two join+groupBy+
+    argmax stages replayed exactly by the DuckDB twin (stage (a) summed
+    neighbor vote mass, stage (b) plurality of neighbors' hypothetical
+    FENNEL assignments, (score DESC, partition ASC) tie-breaks)."""
+    e = copurchase_edges(spark, sf_dir)
+    out = foaf_reassign(e, _foaf_seed_assignment(spark, sf_dir), num_partitions=K_PARTS)
+    return out.select("id", "partition")
+
+
+def q_nmi(spark, sf_dir):
+    """NMI between the bounded LPA labeling and the hash assignment —
+    contingency via groupBy on both ends, entropy arithmetic in doubles
+    (reference: sklearn NMI at graph_partitioning.py:322-339)."""
+    e = copurchase_edges(spark, sf_dir)
+    labels, _ = label_propagation(e, max_iter=4)
+    b = _hash_assignments(spark, sf_dir).select(
+        "id", F.col("partition").alias("label")
+    )
+    val = nmi(labels.select("id", "label"), b)
+    return spark.createDataFrame([(round(val, 6),)], "nmi double")
+
+
+def q_fscore(spark, sf_dir):
+    """Weighted F1 of the FENNEL assignment vs the hash labeling, plus the
+    best-permutation (Hungarian) relabelled F1 — the reference's fscores2
+    comparison of a prediction model against the actual assignment
+    (utils.py:869-925). k=8, so the oracle enumerates all 8! permutations."""
+    pred = _fennel_assign(spark, sf_dir).select(
+        "id", F.col("partition").alias("label")
+    )
+    act = _hash_assignments(spark, sf_dir).select(
+        "id", F.col("partition").alias("label")
+    )
+    fs = fscore(pred, act)
+    return spark.createDataFrame(
+        [
+            (
+                round(fs["fscore"], 6),
+                round(fs["fscore_relabelled"], 6),
+                round(fs["improvement"], 6),
+            )
+        ],
+        "fscore double, fscore_relabelled double, improvement double",
+    )
+
+
 def q_qds_conductance(spark, sf_dir):
     e = copurchase_edges(spark, sf_dir)
     labels = _hash_assignments(spark, sf_dir).select(
@@ -802,6 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fennel_partition": q_fennel_partition,
         "fennel_quality": q_fennel_quality,
         "fennel_best_of": q_fennel_best_of,
+        "fennel_foaf": q_fennel_foaf,
+        "nmi": q_nmi,
+        "fscore": q_fscore,
         "qds_conductance": q_qds_conductance,
         "community_wavg": q_community_wavg,
         "media_features": q_media_features,
@@ -861,6 +934,131 @@ SELECT run, waste, edges_cut, cut_ratio, tcv FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY tcv ASC, run ASC) AS rn
   FROM (SELECT * FROM g0_row UNION ALL SELECT * FROM g1_row)
 ) WHERE rn = 1""",
+        "fennel_foaf": f"""WITH {EDGES_CTE},
+assign0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id % {FOAF_SEED_MOD} = 0 THEN CAST(id % {K_PARTS} AS INT)
+                  ELSE -1 END AS p
+  FROM verts),
+foaf_al AS MATERIALIZED (
+  SELECT CAST((SELECT COUNT(*) FROM edges) * {K_PARTS} AS DOUBLE)
+       / CAST((SELECT COUNT(*) FROM verts) * (SELECT COUNT(*) FROM verts) AS DOUBLE) AS a),
+mass AS MATERIALIZED (
+  SELECT e.src AS id, SUM(CASE WHEN e.weight <= 0 THEN 1.0 ELSE e.weight END) AS mass
+  FROM sym e JOIN assign0 a ON a.id = e.dst AND a.p >= 0
+  GROUP BY 1),
+lonely AS MATERIALIZED (
+  SELECT a.id FROM assign0 a LEFT JOIN mass m ON m.id = a.id
+  WHERE COALESCE(m.mass, 0) <= 0),
+masked AS MATERIALIZED (
+  SELECT a.id, CASE WHEN l.id IS NOT NULL THEN -1 ELSE a.p END AS p
+  FROM assign0 a LEFT JOIN lonely l ON l.id = a.id),
+nv AS MATERIALIZED (
+  SELECT e.src AS u, st.p, SUM(CASE WHEN e.weight <= 0 THEN 1.0 ELSE e.weight END) AS v
+  FROM sym e JOIN masked st ON st.id = e.dst AND st.p >= 0
+  GROUP BY 1, 2),
+nbrs AS MATERIALIZED (
+  SELECT DISTINCT e.src AS v, e.dst AS u
+  FROM sym e JOIN lonely l ON l.id = e.src),
+stage_a AS MATERIALIZED (
+  SELECT n.v, nv.p, SUM(nv.v) AS score
+  FROM nbrs n JOIN nv ON nv.u = n.u
+  GROUP BY 1, 2 HAVING SUM(nv.v) > 0),
+a_best AS MATERIALIZED (
+  SELECT v AS id, p AS fa FROM (
+    SELECT v, p, ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, p ASC) AS rn
+    FROM stage_a) WHERE rn = 1),
+msz AS MATERIALIZED (
+  SELECT p, CAST(COUNT(*) AS DOUBLE) AS sz FROM masked WHERE p >= 0 GROUP BY p),
+hyp AS MATERIALIZED (
+  SELECT u, p AS hp FROM (
+    SELECT nv.u, nv.p,
+           ROW_NUMBER() OVER (PARTITION BY nv.u ORDER BY
+             nv.v - (SELECT a FROM foaf_al) * COALESCE(z.sz, 0.0) DESC,
+             nv.p ASC) AS rn
+    FROM nv LEFT JOIN msz z ON z.p = nv.p) WHERE rn = 1),
+stage_b AS MATERIALIZED (
+  SELECT n.v, h.hp, COUNT(*) AS cnt
+  FROM nbrs n JOIN hyp h ON h.u = n.u
+  GROUP BY 1, 2),
+b_best AS MATERIALIZED (
+  SELECT v AS id, hp AS fb FROM (
+    SELECT v, hp, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, hp ASC) AS rn
+    FROM stage_b) WHERE rn = 1)
+SELECT a.id, CAST(COALESCE(b.fb, ab.fa, a.p) AS INT) AS partition
+FROM assign0 a
+LEFT JOIN a_best ab ON ab.id = a.id
+LEFT JOIN b_best b ON b.id = a.id""",
+        "nmi": f"""WITH {EDGES_CTE},
+{_lpa_cte(4)},
+nlb AS MATERIALIZED (
+  SELECT l.id, l.label AS x, CAST(l.id % {K_PARTS} AS INT) AS y
+  FROM l4 l WHERE l.label >= 0),
+cont AS MATERIALIZED (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS c FROM nlb GROUP BY 1, 2),
+tot AS MATERIALIZED (SELECT SUM(c) AS n FROM cont),
+ma AS MATERIALIZED (SELECT x, SUM(c) AS ca FROM cont GROUP BY x),
+mb2 AS MATERIALIZED (SELECT y, SUM(c) AS cb FROM cont GROUP BY y),
+mi AS (
+  SELECT SUM((j.c / (SELECT n FROM tot))
+             * ln((j.c / (SELECT n FROM tot))
+                  / ((a.ca / (SELECT n FROM tot)) * (b.cb / (SELECT n FROM tot))))) AS mi
+  FROM cont j JOIN ma a ON a.x = j.x JOIN mb2 b ON b.y = j.y),
+ha AS (SELECT -SUM((ca / (SELECT n FROM tot)) * ln(ca / (SELECT n FROM tot))) AS h FROM ma),
+hb AS (SELECT -SUM((cb / (SELECT n FROM tot)) * ln(cb / (SELECT n FROM tot))) AS h FROM mb2)
+SELECT ROUND((SELECT mi FROM mi)
+             / (((SELECT h FROM ha) + (SELECT h FROM hb)) / 2.0), 6) AS nmi""",
+        "fscore": f"""WITH RECURSIVE {EDGES_CTE},
+{f_cte},
+pred AS MATERIALIZED (SELECT id, p AS pl FROM {f_final} WHERE p >= 0),
+cont AS MATERIALIZED (
+  SELECT p.pl, CAST(p.id % {K_PARTS} AS INT) AS al, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM pred p GROUP BY 1, 2),
+pix AS MATERIALIZED (
+  SELECT pl, DENSE_RANK() OVER (ORDER BY pl) - 1 AS i
+  FROM (SELECT DISTINCT pl FROM cont)),
+aix AS MATERIALIZED (
+  SELECT al, DENSE_RANK() OVER (ORDER BY al) - 1 AS j
+  FROM (SELECT DISTINCT al FROM cont)),
+cm AS MATERIALIZED (
+  SELECT x.i, y.j, c.c FROM cont c JOIN pix x ON x.pl = c.pl JOIN aix y ON y.al = c.al),
+kk AS MATERIALIZED (
+  SELECT GREATEST((SELECT COUNT(*) FROM pix), (SELECT COUNT(*) FROM aix)) AS k),
+rowsum AS MATERIALIZED (SELECT i, SUM(c) AS rs FROM cm GROUP BY i),
+colsum AS MATERIALIZED (SELECT j, SUM(c) AS cs FROM cm GROUP BY j),
+basef AS (
+  SELECT cs.j, COALESCE(d.c, 0) AS tp, COALESCE(r.rs, 0) AS pj, cs.cs AS sup
+  FROM colsum cs
+  LEFT JOIN cm d ON d.i = cs.j AND d.j = cs.j
+  LEFT JOIN rowsum r ON r.i = cs.j),
+base AS MATERIALIZED (
+  SELECT SUM(CASE WHEN tp > 0
+             THEN 2 * (tp/pj) * (tp/sup) / ((tp/pj) + (tp/sup)) * sup
+             ELSE 0 END) / SUM(sup) AS f1
+  FROM basef),
+perm(l, d) AS (
+  SELECT [x], 1 FROM (SELECT unnest(range((SELECT k FROM kk))) AS x)
+  UNION ALL
+  SELECT list_append(p.l, t.x), p.d + 1
+  FROM perm p, (SELECT unnest(range((SELECT k FROM kk))) AS x) t(x)
+  WHERE p.d < (SELECT k FROM kk) AND NOT list_contains(p.l, t.x)),
+fullperm AS MATERIALIZED (SELECT l FROM perm WHERE d = (SELECT k FROM kk)),
+scored AS MATERIALIZED (
+  SELECT f.l, COALESCE(SUM(c.c), 0) AS s
+  FROM fullperm f LEFT JOIN cm c ON c.i = f.l[CAST(c.j AS INT) + 1]
+  GROUP BY f.l),
+bestperm AS MATERIALIZED (SELECT l FROM scored ORDER BY s DESC, l ASC LIMIT 1),
+relf AS (
+  SELECT cs.j, COALESCE(d.c, 0) AS tp, COALESCE(r.rs, 0) AS pj, cs.cs AS sup
+  FROM colsum cs
+  LEFT JOIN cm d ON d.j = cs.j AND d.i = (SELECT l FROM bestperm)[CAST(cs.j AS INT) + 1]
+  LEFT JOIN rowsum r ON r.i = (SELECT l FROM bestperm)[CAST(cs.j AS INT) + 1]),
+rel AS MATERIALIZED (
+  SELECT SUM(CASE WHEN tp > 0
+             THEN 2 * (tp/pj) * (tp/sup) / ((tp/pj) + (tp/sup)) * sup
+             ELSE 0 END) / SUM(sup) AS f1
+  FROM relf)
+SELECT ROUND((SELECT f1 FROM base), 6) AS fscore,
+       ROUND((SELECT f1 FROM rel), 6) AS fscore_relabelled,
+       ROUND((SELECT f1 FROM rel) - (SELECT f1 FROM base), 6) AS improvement""",
         "qds_conductance": f"""WITH {EDGES_CTE},
 lab AS (
   SELECT e.weight, CAST(e.src % {K_PARTS} AS INT) AS la, CAST(e.dst % {K_PARTS} AS INT) AS lb

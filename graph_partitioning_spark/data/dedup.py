@@ -32,19 +32,38 @@ from pyspark.sql import functions as F
 
 
 def exact_duplicates(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_members: int | None = 100,
 ) -> DataFrame:
     """Groups with >1 identical text → (keep_id, dup_count, members).
 
     keep_id = smallest doc_id of the group (deterministic survivor).
+    ``members`` holds at most ``max_members`` smallest ids of the group
+    (default 100): one boilerplate page duplicated 10^8 times must not
+    become a single giant array row — ``dup_count`` still counts the whole
+    group. Pass ``max_members=None`` to collect every member (only safe
+    when group sizes are known-bounded); pass 0 to skip members entirely.
     """
+    base = documents.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("h"))
+    if max_members is None:
+        members = F.sort_array(F.collect_list(id_col))
+    else:
+        # rank within the hash group BEFORE collecting, so no aggregation
+        # buffer ever holds an unbounded group; the window's h-partitioned
+        # sort is spillable and its exchange is reused by the groupBy
+        w = Window.partitionBy("h").orderBy(id_col)
+        base = base.withColumn("_rn", F.row_number().over(w))
+        members = F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_members, F.col(id_col)))
+        )
     return (
-        documents.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("h"))
-        .groupBy("h")
+        base.groupBy("h")
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("dup_count"),
-            F.sort_array(F.collect_list(id_col)).alias("members"),
+            members.alias("members"),
         )
         .filter(F.col("dup_count") > 1)
         .select("keep_id", "dup_count", "members")
@@ -69,7 +88,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_postings: int | None = None,
+    max_postings: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs → (a, b, jaccard) with a < b.
 
@@ -77,7 +96,13 @@ def ngram_jaccard_pairs(
     count shared shingles per pair, Jaccard = |∩| / (|A|+|B|−|∩|).
     ``max_postings`` drops shingles shared by more than that many docs
     (frequency-capped inverted index — the standard web-scale guard against
-    quadratic blowup on boilerplate shingles).
+    quadratic blowup on boilerplate shingles). The cap is ON by default
+    (10k postings ⇒ ≤10^8 pair rows per dropped stop-shingle avoided);
+    ``None`` opts out for exact small-corpus runs. When the cap fires, the
+    number of dropped shingles is printed so truncation is never silent —
+    dropped shingles shrink intersections only (a documented recall trade:
+    jaccard is understated for pairs sharing a stop-shingle, never
+    overstated, because ``sizes`` is computed before the cap).
     """
     sh = documents.select(
         F.col(id_col).alias("doc"), F.explode(_shingles(text_col, k)).alias("shingle")
@@ -90,7 +115,16 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_postings)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        hot = hot.persist()
+        n_hot = hot.count()
+        if n_hot:
+            print(
+                f"[ngram_jaccard_pairs] dropping {n_hot} stop-shingle(s) with "
+                f"more than {max_postings} postings (recall trade, see docstring)"
+            )
+        # hot stays persisted for the anti-join (≤ total_postings/max_postings
+        # rows); AQE broadcasts it when small enough
+        sh = sh.join(hot, "shingle", "left_anti") if n_hot else sh
     a = sh.select(F.col("doc").alias("a"), "shingle")
     b = sh.select(F.col("doc").alias("b"), "shingle")
     inter = (

@@ -1,11 +1,14 @@
 """Balanced streaming partitioning (FENNEL/LDG) + partition-quality metrics."""
 
-from .fennel import FennelConfig, fennel_partition  # noqa: F401
+from .arrival import ArrivalConfig, simulate_arrivals  # noqa: F401
+from .fennel import FennelConfig, fennel_partition, foaf_reassign  # noqa: F401
 from .harness import best_of  # noqa: F401
 from .metrics import (  # noqa: F401
     community_quality,
     cut_metrics,
+    fscore,
     loneliness_wavg,
+    nmi,
     modularity,
     partition_community_quality,
     partition_populations,

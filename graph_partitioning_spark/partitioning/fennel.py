@@ -38,7 +38,7 @@ Scale notes:
 - The votes join shuffles edges (src,dst,weight both directions) against
   the (id, partition) table — the same J1 shape PageRank uses. Map-side
   partial aggregation pre-combines hub traffic; AQE skew-join splits the
-  残り. ``salt_buckets > 0`` additionally salts the assignment side
+  rest. ``salt_buckets > 0`` additionally salts the assignment side
   explicitly for power-law hubs (north-star requirement).
 - Candidate pruning: a node's best partition is either one a neighbor
   votes for, its previous partition (+α credit), or the globally smallest
@@ -105,6 +105,43 @@ def _bucket_expr(id_col, config: FennelConfig):
     return F.pmod(
         F.xxhash64(id_col, F.lit(config.bucket_seed)), F.lit(config.micro_batches)
     ).cast("int")
+
+
+def centrality_bucketed(
+    state: DataFrame, score: DataFrame, micro_batches: int, n: int
+) -> DataFrame:
+    """Attach an ntile-equivalent high-centrality-first ``bucket`` column
+    WITHOUT a global window (F11 reorder modes).
+
+    ``score``: (id, _score) — higher streams earlier. Ranks come from the
+    range-partition + per-partition row_number pattern (assign_dense_ids),
+    never a partition-less ``ntile().over(Window.orderBy(...))`` whose
+    single-task sort OOMs at 10^9 vertices; the arithmetic below reproduces
+    ntile's split exactly (first n % micro_batches buckets one row larger).
+    Audited by tools/audit_plans.py (no SinglePartition exchange).
+    """
+    from ..graph.edges import assign_dense_ids
+
+    ranked = assign_dense_ids(
+        state.join(score, "id", "left")
+        .withColumn("_score", F.coalesce(F.col("_score"), F.lit(0.0)))
+        .withColumn("_ns", -F.col("_score")),
+        ["_ns", "id"],
+        id_col="_rank",
+    )
+    q, rem = n // micro_batches, n % micro_batches
+    r = F.col("_rank")
+    head = F.lit(rem * (q + 1))
+
+    def _intdiv(num, d: int):
+        # exact integer division as Column arithmetic: the numerator is
+        # made exactly divisible first, so the double division is exact
+        return ((num - num % F.lit(d)) / F.lit(d)).cast("int")
+
+    bucket = F.when(r < head, _intdiv(r, q + 1)).otherwise(
+        F.lit(rem) + _intdiv(r - head, max(q, 1))
+    )
+    return ranked.withColumn("bucket", bucket).drop("_score", "_ns", "_rank")
 
 
 def _sizes_map(assignments: DataFrame, weights: DataFrame | None, k: int) -> list[float]:
@@ -177,33 +214,15 @@ def fennel_partition(
 
     Returns (assignments(id, partition), info).
 
-    The whole run is conf-scoped: a FENNEL run is dozens of tiny bounded
-    queries, for which per-stage AQE re-planning and wide shuffles cost
-    more than they save (measured 2.7x wall-clock at sf0.1) — so below the
-    ``broadcast_state_max`` size gate the session runs with AQE off and few
-    shuffle partitions, restored on exit. Web-scale runs keep AQE + full
-    parallelism + the shuffle join paths.
+    Conf scoping (AQE off + few shuffle partitions for the dozens of tiny
+    bounded superstep queries, measured 2.7x wall-clock at sf0.1) happens
+    inside the superstep loop, gated on ONE variable: the vertex count ``n``
+    against ``broadcast_state_max``. Web-scale runs (n above the gate) keep
+    AQE + full parallelism + the shuffle join paths.
     """
-    spark = edges.sparkSession
-    m_hint = edges.count()
-    saved_conf: dict[str, str] = {}
-    if m_hint <= config.broadcast_state_max:
-        for key, val in (
-            ("spark.sql.adaptive.enabled", "false"),
-            (
-                "spark.sql.shuffle.partitions",
-                str(min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)),
-            ),
-        ):
-            saved_conf[key] = spark.conf.get(key)
-            spark.conf.set(key, val)
-    try:
-        return _fennel_partition_impl(
-            edges, config, vertices, initial, fixed, checkpointer, resume
-        )
-    finally:
-        for key, val in saved_conf.items():
-            spark.conf.set(key, val)
+    return _fennel_partition_impl(
+        edges, config, vertices, initial, fixed, checkpointer, resume
+    )
 
 
 def _fennel_partition_impl(
@@ -292,9 +311,7 @@ def _fennel_partition_impl(
         # F11 DEGREE_HL / LEVERAGE_HL: stream high-centrality nodes first —
         # bucket 0 gets the highest slice (reference reorder schemes,
         # graph_partitioning/utils.py:999-1008 degree and :1010-1061
-        # leverage centrality high-low). Global ntile is a single-task sort
-        # of (id, score) pairs only — acceptable for the opt-in reorder
-        # modes; the default hash bucketing has no such point.
+        # leverage centrality high-low).
         if config.bucket_by == "leverage_hl":
             from ..graph.centrality import leverage_centrality
 
@@ -305,17 +322,7 @@ def _fennel_partition_impl(
             score = sym.groupBy(F.col("src").alias("id")).agg(
                 F.count("*").cast("double").alias("_score")
             )
-        state = (
-            state.join(score, "id", "left")
-            .withColumn("_score", F.coalesce(F.col("_score"), F.lit(0.0)))
-            .withColumn(
-                "bucket",
-                F.ntile(config.micro_batches).over(
-                    Window.orderBy(F.desc("_score"), F.asc("id"))
-                ) - 1,
-            )
-            .drop("_score")
-        )
+        state = centrality_bucketed(state, score, config.micro_batches, n)
     else:
         state = state.withColumn("bucket", _bucket_expr(F.col("id"), config))
     state = state.withColumn("_changed", F.lit(False))
@@ -333,6 +340,25 @@ def _fennel_partition_impl(
     if checkpointer is not None and resume:
         manifest = checkpointer.latest_manifest()
         if manifest is not None and manifest.get("params", {}).get("algorithm") == "fennel":
+            # a checkpointed state keeps the bucket column it was written
+            # with — resuming under a different bucket schedule would make
+            # the bucket-pruned vote input silently disagree with the
+            # movable set (movable nodes see zero votes and fall back to
+            # prev/best_empty). Refuse loudly instead.
+            params = manifest.get("params", {})
+            for pname, want in (
+                ("k", k),
+                ("bucket_by", config.bucket_by),
+                ("bucket_seed", config.bucket_seed),
+                ("micro_batches", config.micro_batches),
+            ):
+                have = params.get(pname)
+                if have is not None and have != want:
+                    raise ValueError(
+                        f"checkpoint was written with {pname}={have!r} but the "
+                        f"resume config has {pname}={want!r}; the bucket "
+                        "schedule/partition count must match the original run"
+                    )
             start_iter = manifest["superstep"]
             counters = Counters.from_dict(manifest["counters"])
             state = checkpointer.load_states(spark, manifest)["assignments"]
@@ -389,12 +415,14 @@ def _fennel_partition_impl(
     small = n <= config.broadcast_state_max
     _saved_conf = {}
     if small:
+        try:
+            # value can be non-numeric on some platforms (e.g. "auto")
+            cur_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            cur_shuffle = 8
         for key, val in (
             ("spark.sql.adaptive.enabled", "false"),
-            (
-                "spark.sql.shuffle.partitions",
-                str(min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)),
-            ),
+            ("spark.sql.shuffle.partitions", str(min(cur_shuffle, 8))),
         ):
             _saved_conf[key] = spark.conf.get(key)
             spark.conf.set(key, val)
@@ -439,10 +467,16 @@ def _fennel_partition_impl(
                 # 0 votes, globally-smallest partition with 0 votes) enter as
                 # expression structs via `greatest` — saving the union + second
                 # groupBy + window sort the naive plan pays per superstep.
-                # A (cand == prev) vote row always scores ≥ the synthetic prev
-                # candidate (votes ≥ 0), so including both never changes the
-                # winner; struct ordering (score, −cand) reproduces the
-                # reference's first-max tie-break (fennel.pyx:89-107) exactly.
+                # For FENNEL a (cand == prev) vote row always scores ≥ the
+                # synthetic prev candidate (votes ≥ 0 and the +α credit applies
+                # to both), so including both never changes the winner; struct
+                # ordering (score, −cand) reproduces the reference's first-max
+                # tie-break (fennel.pyx:89-107) exactly. LDG has NO previous-
+                # partition credit (the reference kernel scores all partitions
+                # afresh each stream, graph-partitioning-ldg.ipynb cell 2), so
+                # the synthetic prev candidate is dropped there — otherwise its
+                # 0 score would pin nodes to an over-capacity prev partition
+                # whose real vote row scores negative.
                 size_arr = F.array(*[F.lit(s) for s in sizes])
 
                 def _score(cand_col, votes_col, prev_col, w_col):
@@ -473,14 +507,17 @@ def _fennel_partition_impl(
                 best_vote = vj.groupBy("id", "prev", "node_weight").agg(
                     F.max(vote_struct).alias("bv")
                 )
-                prev_struct = F.when(
-                    F.col("prev") >= 0,
-                    _cand_struct(F.col("prev"), F.lit(0.0), F.col("prev"), node_w),
-                )
                 empty_struct = _cand_struct(
                     F.lit(best_empty), F.lit(0.0), F.col("prev"), node_w
                 )
-                best = F.greatest(F.col("bv"), prev_struct, empty_struct)
+                if config.strategy == "ldg":
+                    best = F.greatest(F.col("bv"), empty_struct)
+                else:
+                    prev_struct = F.when(
+                        F.col("prev") >= 0,
+                        _cand_struct(F.col("prev"), F.lit(0.0), F.col("prev"), node_w),
+                    )
+                    best = F.greatest(F.col("bv"), prev_struct, empty_struct)
                 decided = best_vote.select(
                     "id", (-best["nc"]).alias("new_partition"), "prev"
                 )
@@ -537,6 +574,9 @@ def _fennel_partition_impl(
                         "strategy": config.strategy,
                         "alpha": alpha,
                         "k": k,
+                        "bucket_by": config.bucket_by,
+                        "bucket_seed": config.bucket_seed,
+                        "micro_batches": config.micro_batches,
                         "changed": changed_this_iter,
                     },
                 )
@@ -598,6 +638,69 @@ def _fennel_partition_impl(
     }
     release(sym)
     return result, info
+
+
+def foaf_reassign(
+    edges: DataFrame,
+    assignments: DataFrame,
+    num_partitions: int,
+    alpha: float | None = None,
+    vertices: DataFrame | None = None,
+    fixed: DataFrame | None = None,
+) -> DataFrame:
+    """Standalone friend-of-a-friend lonely-node reassignment (F4) over an
+    arbitrary — typically partial — ``(id, partition)`` assignment.
+
+    Reference: ``friend_of_friend_lonely_node_partition_assignment``
+    (/root/reference/graph_partitioning/fennel.pyx:188-297), which the
+    reference invokes mid-arrival when many neighbors are still unassigned.
+    ``fennel_partition(config.foaf=True)`` runs the same pass on its own
+    final state; this entry point runs it directly so partial assignments
+    (arrival snapshots, prediction models) can be repaired without a
+    partitioner run — and so the pass is oracle-checkable in isolation.
+
+    ``alpha``: FENNEL balance weight for stage (b)'s hypothetical
+    assignments; default ``m·k/n²`` recomputed from this graph.
+    Returns ``(id, partition)``.
+    """
+    k = num_partitions
+    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        edge_ids = sym.select(F.col("src").alias("id")).distinct()
+        all_ids = (
+            edge_ids.union(assignments.select("id")).distinct()
+        )
+        state = all_ids.join(
+            assignments.select("id", "partition"), "id", "left"
+        ).select(
+            "id", F.coalesce(F.col("partition"), F.lit(-1)).alias("partition")
+        )
+        if fixed is not None:
+            state = state.join(
+                fixed.select("id").withColumn("_f", F.lit(True)), "id", "left"
+            ).withColumn("fixed", F.coalesce(F.col("_f"), F.lit(False))).drop("_f")
+        else:
+            state = state.withColumn("fixed", F.lit(False))
+        weights = vertices.select("id", "weight") if vertices is not None else None
+        if weights is not None:
+            state = state.join(
+                weights.select("id", F.col("weight").alias("_w")), "id", "left"
+            ).withColumn("w", F.coalesce(F.col("_w"), F.lit(1.0))).drop("_w")
+        else:
+            state = state.withColumn("w", F.lit(1.0))
+        # _foaf_pass carries the partitioner's state layout through
+        state = state.withColumn("bucket", F.lit(0)).withColumn(
+            "has_edge", F.lit(True)
+        ).withColumn("_changed", F.lit(False))
+        state = materialize(state)
+        if alpha is None:
+            n = state.count()
+            m = edges.count()
+            alpha = (m * k) / (n * n) if n else 0.0
+        out = _foaf_pass(sym, state, alpha, k, weights)
+        return out.select("id", "partition")
+    finally:
+        release(sym)
 
 
 def _foaf_pass(

@@ -421,6 +421,7 @@ def partition_community_quality(
     """
     from ..graph.labelprop import label_propagation
 
+    pair = None
     assigned = assignments.filter(F.col("partition") >= 0).select("id", "partition")
     a_src = assigned.select(F.col("id").alias("src"), F.col("partition").alias("p_src"))
     a_dst = assigned.select(F.col("id").alias("dst"), F.col("partition").alias("p_dst"))
@@ -546,7 +547,6 @@ def partition_community_quality(
             )
             .collect()
         )
-        pair.unpersist()
         total = sum(r["pop"] for r in rows)
         if not total:
             return {"q_wavg": 0.0, "qds_wavg": 0.0, "conductance_wavg": 0.0}
@@ -556,6 +556,8 @@ def partition_community_quality(
             "conductance_wavg": float(sum(r["cond"] * r["pop"] for r in rows) / total),
         }
     finally:
+        if pair is not None:
+            pair.unpersist()
         intra.unpersist()
 
 

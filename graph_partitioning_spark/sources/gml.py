@@ -10,7 +10,9 @@ the engine's native formats.
 Grammar subset handled (all the reference's files need): ``graph [ ... ]``
 containing ``node [ id N label "..." <attr> ... ]`` and ``edge [ source N
 target N value/weight X ... ]`` blocks, with arbitrary scalar attributes
-and nested sub-blocks (skipped). Comments (#) and blank lines ignored.
+and nested sub-blocks (skipped). Blank lines ignored. GML has no ``#``
+line comments (and ``nx.read_gml``, the parity target, strips none), so
+``#`` is an ordinary character — including inside quoted labels.
 """
 
 from __future__ import annotations
@@ -26,7 +28,6 @@ _TOKEN = re.compile(r'"[^"]*"|\[|\]|[^\s\[\]]+')
 def _tokenize(text: str) -> list[str]:
     out = []
     for line in text.splitlines():
-        line = line.split("#", 1)[0]
         out.extend(_TOKEN.findall(line))
     return out
 

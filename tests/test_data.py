@@ -201,3 +201,45 @@ def test_decode_image_stub_contract():
     a = decode_image(b"abc", fake=True)
     b = decode_image(b"abc", fake=True)
     assert a.shape == (8, 8, 3) and (a == b).all()
+
+
+def test_exact_duplicates_member_cap(spark):
+    """The members list is capped by default so one boilerplate page
+    duplicated millions of times never becomes a giant array row; dup_count
+    still counts the whole group."""
+    boiler = spark.createDataFrame(
+        [(i, "same text") for i in range(10)] + [(50, "unique")],
+        "doc_id long, text string",
+    )
+    rows = exact_duplicates(boiler, max_members=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 10
+    assert rows[0]["members"] == [0, 1, 2]
+    full = exact_duplicates(boiler, max_members=None).collect()
+    assert full[0]["members"] == list(range(10))
+    # the default cap (100) leaves small groups untouched
+    dflt = exact_duplicates(boiler).collect()
+    assert dflt[0]["members"] == list(range(10))
+
+
+def test_ngram_jaccard_postings_cap_recall_trade(spark):
+    """The finite max_postings default only ever REMOVES pairs (similarity
+    understated, never overstated) and true near-dups sharing non-boilerplate
+    shingles survive."""
+    docs = [
+        (i, "boilerplate header " + ("alpha beta gamma" if i < 2 else f"unique tail {i} xyz{i}"))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, k=5, threshold=0.2, max_postings=None).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, k=5, threshold=0.2, max_postings=4).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert (0, 1) in capped              # identical docs still pair up
+    for pair, j in capped.items():
+        assert j <= uncapped[pair] + 1e-9  # understated only

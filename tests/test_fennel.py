@@ -259,3 +259,31 @@ def test_fennel_rejects_out_of_range_initial(spark):
     cfg = FennelConfig(num_partitions=3, num_iterations=1, micro_batches=1)
     with pytest.raises(ValueError, match="num_partitions"):
         fennel_partition(edges, cfg, initial=bad)
+
+
+def test_ldg_over_capacity_prefers_least_loaded(spark):
+    """LDG has no previous-partition credit: a node whose only votes point
+    at an over-capacity partition (negative remaining-capacity score) moves
+    to the least-loaded partition instead of staying pinned at its prev —
+    the reference kernel (graph-partitioning-ldg.ipynb cell 2) falls back
+    to a partition with room whenever every score is <= 0."""
+    # nodes 0..5 fixed in partition 0 (capacity = 7/2 = 3.5 < size 7);
+    # node 6 is movable, neighbours only partition-0 nodes, prev = 0
+    edges = undirect(
+        spark.createDataFrame(
+            [(i, (i + 1) % 6, 1.0) for i in range(6)] + [(6, 0, 1.0)],
+            "src long, dst long, weight double",
+        )
+    )
+    initial = spark.createDataFrame(
+        [(i, 0) for i in range(7)], "id long, partition int"
+    )
+    fixed = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    cfg = FennelConfig(
+        num_partitions=2, num_iterations=1, micro_batches=1,
+        strategy="ldg", converge_early=False,
+    )
+    result, _ = fennel_partition(edges, cfg, initial=initial, fixed=fixed)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+    assert got[6] == 1, "over-capacity prev must not pin the node under LDG"
+    assert all(got[i] == 0 for i in range(6))

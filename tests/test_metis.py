@@ -115,3 +115,24 @@ def test_read_gml(spark, tmp_path):
 
     und = undirect(edges)
     assert und.count() == 4
+
+
+def test_read_gml_hash_inside_quoted_label(spark, tmp_path):
+    """GML has no '#' line comments (and nx.read_gml strips none): a '#'
+    inside a quoted label must survive tokenization intact."""
+    from graph_partitioning_spark.sources import read_gml
+
+    path = tmp_path / "hash.gml"
+    path.write_text(
+        'graph [\n'
+        '  node [ id 0 label "C# intro" ]\n'
+        '  node [ id 1 label "plain" ]\n'
+        '  edge [ source 0 target 1 value 2.0 ]\n'
+        ']\n'
+    )
+    verts, edges = read_gml(spark, str(path))
+    v = {r["id"]: r["label"] for r in verts.collect()}
+    assert v[0] == "C# intro"
+    assert v[1] == "plain"
+    e = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
+    assert e == {(0, 1): 2.0}

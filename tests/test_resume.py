@@ -89,3 +89,37 @@ def test_fennel_resume_identical(spark, graph, tmp_path):
     part2, info2 = fennel_partition(und, cfg, checkpointer=cp2)
     got = {r["id"]: r["partition"] for r in part2.collect()}
     assert got == want
+
+
+def test_fennel_resume_rejects_bucket_schedule_mismatch(spark, graph, tmp_path):
+    """A checkpointed state keeps the bucket column it was written with —
+    resuming under a different bucket schedule (or k) must fail loudly, not
+    silently starve the pruned vote join."""
+    directed, und = graph
+    cp = CheckpointManager(str(tmp_path / "fnm"), "run")
+    cfg1 = FennelConfig(num_partitions=3, num_iterations=1, micro_batches=2,
+                        converge_early=False)
+    fennel_partition(und, cfg1, checkpointer=cp)
+
+    with pytest.raises(ValueError, match="micro_batches"):
+        fennel_partition(
+            und,
+            FennelConfig(num_partitions=3, num_iterations=2, micro_batches=4),
+            checkpointer=CheckpointManager(str(tmp_path / "fnm"), "run"),
+        )
+    with pytest.raises(ValueError, match="bucket_by"):
+        fennel_partition(
+            und,
+            FennelConfig(num_partitions=3, num_iterations=2, micro_batches=2,
+                         bucket_by="mod"),
+            checkpointer=CheckpointManager(str(tmp_path / "fnm"), "run"),
+        )
+    # matching config still resumes fine
+    part2, info2 = fennel_partition(
+        und,
+        FennelConfig(num_partitions=3, num_iterations=2, micro_batches=2),
+        checkpointer=CheckpointManager(str(tmp_path / "fnm"), "run"),
+    )
+    assert part2.count() == und.selectExpr("src as id").union(
+        und.selectExpr("dst as id")
+    ).distinct().count()

@@ -59,6 +59,28 @@ def main() -> None:
     )
     print("[audit] arrival ranking: no SinglePartition exchange — OK")
 
+    # fennel centrality reorder (degree_hl/leverage_hl bucketing) must use
+    # the same pattern — a partition-less ntile window would show up as an
+    # Exchange SinglePartition funneling every (id, score) pair into one task
+    from graph_partitioning_spark.partitioning.fennel import centrality_bucketed
+
+    fake_state = spark.range(0, 100_000).select(
+        F.col("id"), F.lit(-1).alias("partition"), F.lit(False).alias("fixed")
+    )
+    fake_score = spark.range(0, 100_000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("_score")
+    )
+    bucketed = centrality_bucketed(fake_state, fake_score, 8, 100_000)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        bucketed.explain("formatted")
+    plan_txt = buf.getvalue()
+    assert "SinglePartition" not in plan_txt, (
+        "fennel centrality bucketing regressed to a single-task global sort:\n"
+        + plan_txt
+    )
+    print("[audit] fennel centrality bucketing: no SinglePartition exchange — OK")
+
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
