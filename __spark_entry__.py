@@ -625,6 +625,244 @@ def q_fscore(spark, sf_dir):
     )
 
 
+# Arrival-simulation gate configuration (D3-D5): every vertex arrives in id
+# order, split into ARRIVAL_BATCHES equal batches; each batch reruns FENNEL
+# (1 restream x 2 "mod" buckets, already-arrived nodes fixed) on the arrived
+# subgraph with the reference's alpha = m_sub*k/(n_fixed+batch)^2, then the
+# per-batch 7-column metric row is recorded — all deterministic, so the
+# DuckDB oracle replays every superstep, singleton placement, and metric.
+ARRIVAL_BATCHES = 3
+ARRIVAL_ITERS = 1
+ARRIVAL_BUCKETS = 2
+
+
+def q_arrival_sim(spark, sf_dir):
+    from graph_partitioning_spark.partitioning import ArrivalConfig, simulate_arrivals
+
+    e = copurchase_edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n = verts.count()
+    batch_size = -(-n // ARRIVAL_BATCHES)
+    arrivals = verts.select(
+        "id", F.lit(1).alias("arrived"), F.col("id").alias("seq")
+    )
+    cfg = ArrivalConfig(
+        num_partitions=K_PARTS,
+        restream_batches=batch_size,
+        num_iterations=ARRIVAL_ITERS,
+        micro_batches=ARRIVAL_BUCKETS,
+        bucket_by="mod",
+    )
+    final, metrics, info = simulate_arrivals(e, arrivals, cfg)
+    return metrics.select(
+        "batch",
+        F.round("waste", 6).alias("waste"),
+        F.col("edges_cut").cast("long").alias("edges_cut"),
+        F.round("cut_ratio", 6).alias("cut_ratio"),
+        F.col("tcv").cast("long").alias("tcv"),
+        F.col("m_sub").cast("long").alias("m_sub"),
+        F.col("n_fixed").cast("long").alias("n_fixed"),
+    )
+
+
+def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
+    """Chained-CTE replay of ``simulate_arrivals`` under the gate config:
+    per batch — arrived-subgraph semi-join (P1), per-batch alpha, the
+    bounded FENNEL restream with previously-arrived nodes fixed (same CTE
+    shapes as ``_fennel_cte`` plus fixed/has_edge handling), the greedy
+    min-fill singleton placement as a recursive-CTE fold over the isolated
+    batch nodes (exact heap semantics: smallest size then smallest id), the
+    merge, and the 7-column metric row. Emits ``abm`` (batch metric rows).
+    """
+    parts = [
+        "arv AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM verts)",
+        f"abn AS MATERIALIZED (SELECT COUNT(*) AS n, CAST(CEIL(COUNT(*) / {batches}.0) AS BIGINT) AS bsz FROM arv)",
+    ]
+    size_list = lambda st: (  # noqa: E731
+        "["
+        + ", ".join(
+            f"COALESCE((SELECT CAST(COUNT(*) AS DOUBLE) FROM {st} WHERE p = {p}), 0.0)"
+            for p in range(k)
+        )
+        + "]"
+    )
+    rows = []
+    for b in range(batches):
+        pre = f"ab{b}"
+        lo = f"(SELECT LEAST({b} * bsz, n) FROM abn)"
+        hi = f"(SELECT LEAST({b + 1} * bsz, n) FROM abn)"
+        parts.append(
+            f"""{pre}_sub AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight
+  FROM edges e JOIN arv a1 ON a1.id = e.src JOIN arv a2 ON a2.id = e.dst
+  WHERE a1.rk < {hi} AND a2.rk < {hi})"""
+        )
+        parts.append(
+            f"""{pre}_sym AS MATERIALIZED (
+  SELECT src, dst, weight FROM {pre}_sub
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM {pre}_sub)"""
+        )
+        parts.append(
+            f"{pre}_mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM {pre}_sub)"
+        )
+        # alpha = m_sub*k/(n_fixed+batch_n)^2 with n_fixed+batch_n = hi
+        parts.append(
+            f"""{pre}_al AS MATERIALIZED (
+  SELECT CAST((SELECT m FROM {pre}_mm) * {k} AS DOUBLE)
+       / CAST({hi} * {hi} AS DOUBLE) AS a)"""
+        )
+        prev_final = f"ab{b - 1}_final" if b else None
+        init_p = (
+            f"COALESCE(pf.p, -1)" if prev_final else "-1"
+        )
+        prev_join = (
+            f"LEFT JOIN {prev_final} pf ON pf.id = a.id" if prev_final else ""
+        )
+        parts.append(
+            f"""{pre}_s0 AS MATERIALIZED (
+  SELECT a.id, CAST({init_p} AS INT) AS p,
+         a.rk < {lo} AS fixed,
+         CAST(a.id % {buckets} AS INT) AS bucket,
+         EXISTS (SELECT 1 FROM {pre}_sym e WHERE e.src = a.id) AS has_edge
+  FROM arv a {prev_join}
+  WHERE a.rk < {hi})"""
+        )
+        step = 0
+        for _ in range(iters):
+            for bkt in range(buckets):
+                step += 1
+                s, ps = f"{pre}_s{step}", f"{pre}_s{step - 1}"
+                sz, be, vt, mv, cd, dc = (
+                    f"{pre}_sz{step}", f"{pre}_be{step}", f"{pre}_vt{step}",
+                    f"{pre}_mv{step}", f"{pre}_cd{step}", f"{pre}_dc{step}",
+                )
+                parts.append(
+                    f"{sz} AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS DOUBLE) AS sz "
+                    f"FROM {ps} WHERE p >= 0 GROUP BY p)"
+                )
+                parts.append(
+                    f"""{be} AS MATERIALIZED (
+  SELECT q.pp AS p FROM (SELECT unnest(range({k})) AS pp) q
+  LEFT JOIN {sz} z ON z.p = q.pp
+  ORDER BY COALESCE(z.sz, 0), q.pp LIMIT 1)"""
+                )
+                parts.append(
+                    f"""{vt} AS MATERIALIZED (
+  SELECT e.src AS id, st.p AS vp,
+         SUM(CASE WHEN e.weight <= 0 THEN 1.0 ELSE e.weight END) AS v
+  FROM {pre}_sym e JOIN {ps} st ON st.id = e.dst AND st.p >= 0
+  WHERE e.src % {buckets} = {bkt}
+  GROUP BY 1, 2)"""
+                )
+                parts.append(
+                    f"{mv} AS MATERIALIZED (SELECT id, p AS prev FROM {ps} "
+                    f"WHERE bucket = {bkt} AND NOT fixed AND has_edge)"
+                )
+                parts.append(
+                    f"""{cd} AS MATERIALIZED (
+  SELECT id, prev, cand, MAX(v) AS v FROM (
+    SELECT m.id, m.prev, v.vp AS cand, v.v
+    FROM {mv} m JOIN {vt} v ON v.id = m.id
+    UNION ALL
+    SELECT id, prev, prev AS cand, 0.0 AS v FROM {mv} WHERE prev >= 0
+    UNION ALL
+    SELECT id, prev, (SELECT p FROM {be}) AS cand, 0.0 AS v FROM {mv}
+  ) GROUP BY 1, 2, 3)"""
+                )
+                parts.append(
+                    f"""{dc} AS MATERIALIZED (
+  SELECT id, cand FROM (
+    SELECT c.id, c.cand,
+           ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+             c.v - (SELECT a FROM {pre}_al) * COALESCE(z.sz, 0.0)
+               + CASE WHEN c.cand = c.prev THEN (SELECT a FROM {pre}_al) ELSE 0.0 END DESC,
+             c.cand ASC) AS rn
+    FROM {cd} c LEFT JOIN {sz} z ON z.p = c.cand
+  ) WHERE rn = 1)"""
+                )
+                parts.append(
+                    f"""{s} AS MATERIALIZED (
+  SELECT st.id, CAST(COALESCE(d.cand, st.p) AS INT) AS p, st.fixed, st.bucket, st.has_edge
+  FROM {ps} st LEFT JOIN {dc} d ON d.id = st.id)"""
+                )
+        last = f"{pre}_s{step}"
+        # singleton placement: isolated still-unassigned nodes, ascending id,
+        # greedy min-fill replayed as a recursive fold over a k-sizes list
+        parts.append(
+            f"""{pre}_sing AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM {last} WHERE p < 0)"""
+        )
+        parts.append(
+            f"{pre}_szl AS MATERIALIZED (SELECT {size_list(last)} AS l)"
+        )
+        parts.append(
+            f"""{pre}_fold(rn, sizes) AS (
+  SELECT CAST(0 AS BIGINT) AS rn, (SELECT l FROM {pre}_szl) AS sizes
+  UNION ALL
+  SELECT f.rn + 1,
+         list_transform(range({k}), j -> f.sizes[CAST(j AS INT) + 1]
+           + CASE WHEN j = list_position(f.sizes, list_min(f.sizes)) - 1
+                  THEN 1.0 ELSE 0.0 END)
+  FROM {pre}_fold f WHERE f.rn < (SELECT COUNT(*) FROM {pre}_sing))"""
+        )
+        parts.append(
+            f"""{pre}_placed AS MATERIALIZED (
+  SELECT s.id, CAST(list_position(f.sizes, list_min(f.sizes)) - 1 AS INT) AS p
+  FROM {pre}_sing s JOIN {pre}_fold f ON f.rn = s.rn - 1)"""
+        )
+        parts.append(
+            f"""{pre}_final AS MATERIALIZED (
+  SELECT st.id, CAST(COALESCE(pl.p, st.p) AS INT) AS p
+  FROM {last} st LEFT JOIN {pre}_placed pl ON pl.id = st.id)"""
+        )
+        # metric row
+        parts.append(
+            f"""{pre}_lab AS MATERIALIZED (
+  SELECT e.src, e.dst, a1.p AS p_src, a2.p AS p_dst
+  FROM {pre}_sub e
+  JOIN {pre}_final a1 ON a1.id = e.src
+  JOIN {pre}_final a2 ON a2.id = e.dst)"""
+        )
+        parts.append(
+            f"{pre}_cut AS MATERIALIZED (SELECT * FROM {pre}_lab WHERE p_src <> p_dst)"
+        )
+        parts.append(
+            f"""{pre}_tcv AS (
+  SELECT COALESCE(SUM(steps), 0)::BIGINT AS v FROM (
+    SELECT id, COUNT(DISTINCT fp) AS steps FROM (
+      SELECT src AS id, p_dst AS fp FROM {pre}_cut
+      UNION
+      SELECT dst AS id, p_src AS fp FROM {pre}_cut
+    ) GROUP BY id))"""
+        )
+        parts.append(
+            f"""{pre}_bal AS (
+  SELECT MAX(COALESCE(z.sz, 0) * 1.0 / {hi}) AS mx,
+         SUM(COALESCE(z.sz, 0) * 1.0 / {hi}) AS tot
+  FROM (SELECT unnest(range({k})) AS pp) q
+  LEFT JOIN (SELECT p, COUNT(*) AS sz FROM {pre}_final WHERE p >= 0 GROUP BY p) z
+    ON z.p = q.pp)"""
+        )
+        rows.append(
+            f"""SELECT {b} AS batch,
+       ROUND({k} * (SELECT mx FROM {pre}_bal) - (SELECT tot FROM {pre}_bal), 6) AS waste,
+       (SELECT COUNT(*) FROM {pre}_cut)::BIGINT AS edges_cut,
+       ROUND(CASE WHEN (SELECT m FROM {pre}_mm) > 0
+             THEN (SELECT COUNT(*) FROM {pre}_cut) * 1.0 / (SELECT m FROM {pre}_mm)
+             ELSE 0.0 END, 6) AS cut_ratio,
+       (SELECT v FROM {pre}_tcv) AS tcv,
+       (SELECT m FROM {pre}_mm)::BIGINT AS m_sub,
+       {lo}::BIGINT AS n_fixed"""
+        )
+    parts.append(
+        "abm AS (" + "\nUNION ALL\n".join(rows) + ")"
+    )
+    return ",\n".join(parts)
+
+
 def q_qds_conductance(spark, sf_dir):
     e = copurchase_edges(spark, sf_dir)
     labels = _hash_assignments(spark, sf_dir).select(
@@ -875,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fennel_foaf": q_fennel_foaf,
         "nmi": q_nmi,
         "fscore": q_fscore,
+        "arrival_sim": q_arrival_sim,
         "qds_conductance": q_qds_conductance,
         "community_wavg": q_community_wavg,
         "media_features": q_media_features,
@@ -988,6 +1227,9 @@ SELECT a.id, CAST(COALESCE(b.fb, ab.fa, a.p) AS INT) AS partition
 FROM assign0 a
 LEFT JOIN a_best ab ON ab.id = a.id
 LEFT JOIN b_best b ON b.id = a.id""",
+        "arrival_sim": f"""WITH RECURSIVE {EDGES_CTE},
+{_arrival_cte(ARRIVAL_BATCHES, ARRIVAL_ITERS, ARRIVAL_BUCKETS, K_PARTS)}
+SELECT batch, waste, edges_cut, cut_ratio, tcv, m_sub, n_fixed FROM abm""",
         "nmi": f"""WITH {EDGES_CTE},
 {_lpa_cte(4)},
 nlb AS MATERIALIZED (

@@ -149,6 +149,10 @@ class ArrivalConfig:
     edge_expansion_mode: str | None = None
     prediction_model_emphasis: float = 1.0
     compute_metrics: bool = True
+    # forwarded to the per-batch FennelConfig; "mod" + seed makes every
+    # batch's restream schedule replayable by an external SQL oracle
+    bucket_by: str = "hash"
+    bucket_seed: int = 0
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -283,6 +287,8 @@ def simulate_arrivals(
                 num_iterations=config.num_iterations,
                 micro_batches=config.micro_batches,
                 alpha=alpha,
+                bucket_by=config.bucket_by,
+                bucket_seed=config.bucket_seed,
             ),
             vertices=sub_verts,
             initial=current,
