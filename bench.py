@@ -5,13 +5,18 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "pagerank": {...}}
+     "queries": {...}, "sf": ..., "pagerank": {...}, "spread": {...}}
+
+Every query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) in the same
+session; ``queries`` carries the per-query MEDIAN and ``spread`` the
+[min, max] — the shared-VM drift between rounds is ±20-40%, so single-shot
+numbers kept producing phantom regressions (see BENCH.md round-2 notes).
 
 The ``pagerank`` block carries the BASELINE.json headline figure —
 edges-processed/sec per superstep for PageRank run to 1e-6 convergence on
-the co-purchase link graph — plus superstep counters. Scaling-efficiency
-evidence (same job at two parallelism levels) is produced by
-``tools/bench_scaling.py`` and recorded in BENCH.md.
+the co-purchase link graph (median run) — plus superstep counters.
+Scaling-efficiency evidence (same job at two parallelism levels) is
+produced by ``tools/bench_scaling.py`` and recorded in BENCH.md.
 """
 
 from __future__ import annotations
@@ -32,15 +37,29 @@ def main() -> None:
     from graph_partitioning_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
     def run(name: str, fn) -> None:
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        sys.stderr.write(f"[bench] {name}: {n} rows in {timings[name]}s\n")
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+        timings[name] = round(_median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        sys.stderr.write(
+            f"[bench] {name}: {n} rows, median {timings[name]}s "
+            f"of {[round(r, 2) for r in runs]}\n"
+        )
 
     # warm the shared edge table once (cached by the entry module) so
     # per-query numbers measure the operator, not the shared scan

@@ -1,7 +1,12 @@
 """Balanced streaming partitioning (FENNEL/LDG) + partition-quality metrics."""
 
 from .arrival import ArrivalConfig, simulate_arrivals  # noqa: F401
-from .fennel import FennelConfig, fennel_partition, foaf_reassign  # noqa: F401
+from .fennel import (  # noqa: F401
+    FennelConfig,
+    fennel_partition,
+    foaf_reassign,
+    modular_initial,
+)
 from .harness import best_of  # noqa: F401
 from .metrics import (  # noqa: F401
     community_quality,

@@ -87,6 +87,30 @@ class FennelConfig:
     # optimization for modest graphs; web-scale runs exceed it and take the
     # shuffle path with AQE skew handling
     broadcast_state_max: int = 5_000_000
+    # the per-bucket decision frames (votes, decided) hold ~n/micro_batches
+    # rows *regardless of total n*; below this row count they broadcast even
+    # on the web-scale shuffle-state path, so each bucket step shuffles only
+    # the bucket's edges — never the full n-row state. At true web scale
+    # raise micro_batches so buckets stay under the gate: smaller buckets
+    # also tighten the batch-synchronous relaxation (fresher sizes between
+    # steps → less same-bucket herding). Measured on the 19.5M-edge synthetic
+    # graph (local[32]): per-pass wall 37.4s → see BENCH.md round-3 row.
+    decision_broadcast_max: int = 2_000_000
+    # Bounded inflow (None = off, reference-faithful): with a value s, a
+    # partition accepts per bucket step at most max(0, (1+s)·W/k − size_p)
+    # total node weight of *movers* (nodes changing partition), admitted in
+    # (score DESC, id ASC) order; the rest stay at their previous partition.
+    # Unassigned nodes (prev = −1) are always admitted — placement is
+    # mandatory — so pair this with ``modular_initial`` for a cold start.
+    # This is the deterministic batch-synchronous analogue of Spinner's
+    # probabilistic migration damping (Martella et al., "Spinner: Scalable
+    # graph partitioning in the cloud", ICDE'17): the reference's sequential
+    # stream updates sizes after every node (fennel.pyx:140-149) and so
+    # never over-admits, but a synchronous step deciding n/micro_batches
+    # nodes against one size snapshot will herd into the currently-smallest
+    # partition unless inflow is bounded (measured: waste 6.25 at
+    # micro_batches=1 on the 195M-edge graph without the cap).
+    inflow_cap_slack: float | None = None
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -237,7 +261,28 @@ def _fennel_partition_impl(
     spark = edges.sparkSession
     k = config.num_partitions
 
-    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = symmetrize(edges)
+    # For id-computable bucketings, lay the cached symmetrized edges out
+    # clustered BY BUCKET: each in-memory columnar batch then holds one
+    # bucket's rows only, so the per-bucket-step filter prunes the cache via
+    # batch min/max stats instead of scanning all m rows micro_batches times
+    # per pass (the in-memory scan was 8/9 wasted work at micro_batches=8).
+    # RANGE partitioning on (_eb, src) — NOT hash on _eb alone, which would
+    # collapse each bucket into a single cached partition and serialize its
+    # scan — keeps every batch bucket-homogeneous while spreading each
+    # bucket over ~n_parts/micro_batches partitions. One extra up-front
+    # shuffle of the edge table, amortized over every bucket step of every
+    # restream pass.
+    if config.bucket_by in ("hash", "mod") and config.micro_batches > 1:
+        try:
+            base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            base_parts = spark.sparkContext.defaultParallelism
+        n_parts = max(base_parts, 4 * config.micro_batches)
+        sym = sym.withColumn(
+            "_eb", _bucket_expr(F.col("src"), config)
+        ).repartitionByRange(n_parts, "_eb", "src")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     # ONE degree aggregation serves four pre-loop needs that a naive setup
     # pays separate shuffles for: the edge-vertex set (all_ids /
     # has_edge), the vertex count, and the skew ratio
@@ -263,16 +308,16 @@ def _fennel_partition_impl(
             "iterations": 0, "alpha": 0.0, "counters": {}
         }
     alpha = config.alpha if config.alpha is not None else (m * k) / (n * n)
-    if config.strategy == "ldg":
+    if config.strategy == "ldg" or config.inflow_cap_slack is not None:
         if weights is not None:
             total_w = all_ids.join(weights, "id", "left").agg(
                 F.sum(F.coalesce(F.col("weight"), F.lit(1.0)))
             ).first()[0]
         else:
             total_w = float(n)
-        capacity = total_w / k
     else:
-        capacity = None
+        total_w = float(n)
+    capacity = total_w / k if config.strategy == "ldg" else None
 
     # fixed / initial state
     if initial is not None:
@@ -351,6 +396,7 @@ def _fennel_partition_impl(
                 ("bucket_by", config.bucket_by),
                 ("bucket_seed", config.bucket_seed),
                 ("micro_batches", config.micro_batches),
+                ("inflow_cap_slack", config.inflow_cap_slack),
             ):
                 have = params.get(pname)
                 if have is not None and have != want:
@@ -413,6 +459,8 @@ def _fennel_partition_impl(
     # partitions, restoring the session conf afterwards. Web-scale runs
     # (n > broadcast_state_max) keep AQE + full parallelism.
     small = n <= config.broadcast_state_max
+    # per-bucket decision frames are ~n/micro_batches rows however big n is
+    bucket_small = (n // max(1, config.micro_batches)) <= config.decision_broadcast_max
     _saved_conf = {}
     if small:
         try:
@@ -450,7 +498,11 @@ def _fennel_partition_impl(
                 # below discards those few rows, which is far cheaper than a
                 # semi-join shuffle to exclude them. Centrality bucketings fall
                 # back to a semi-join against the movable ids.
-                if config.bucket_by in ("hash", "mod"):
+                if "_eb" in sym.columns:
+                    # filter on the STORED bucket column (not the recomputed
+                    # expression) so the cached-batch min/max stats prune
+                    active_edges = sym.filter(F.col("_eb") == b).drop("_eb")
+                elif config.bucket_by in ("hash", "mod"):
                     active_edges = sym.filter(_bucket_expr(F.col("src"), config) == b)
                 else:
                     active_edges = sym.join(
@@ -498,15 +550,29 @@ def _fennel_partition_impl(
                 mv = movable.select(
                     "id", F.col("partition").alias("prev"), F.col("w").alias("node_weight")
                 )
-                # LEFT join preserves mv, so the broadcastable side is votes
-                vj = mv.join(F.broadcast(votes) if small else votes, "id", "left")
-                vote_struct = F.when(
-                    F.col("vp").isNotNull(),
-                    _cand_struct(F.col("vp"), F.col("votes"), F.col("prev"), node_w),
+                # The votes frame is degree-multiplied (up to ~avg-degree
+                # rows per movable node) — never broadcast or driver-collect
+                # it. Instead: (1) inner-join votes against the NARROW
+                # bucket-sized mv frame (broadcast build side when the
+                # bucket is small), (2) fold to one best-struct row per
+                # node (≤ bucket rows), (3) left-join that small result
+                # back onto mv — both broadcasts are O(n/micro_batches)
+                # regardless of degree skew. Movable nodes with no votes
+                # fall through with bv = NULL exactly as the old
+                # outer-join shape produced (greatest() skips NULLs), and
+                # vote rows for fixed nodes sharing the bucket die in the
+                # inner join.
+                mv_b = F.broadcast(mv) if (small or bucket_small) else mv
+                voted = votes.join(mv_b, "id")
+                best_vote = voted.groupBy("id").agg(
+                    F.max(
+                        _cand_struct(F.col("vp"), F.col("votes"), F.col("prev"), node_w)
+                    ).alias("bv")
                 )
-                best_vote = vj.groupBy("id", "prev", "node_weight").agg(
-                    F.max(vote_struct).alias("bv")
+                bv_b = (
+                    F.broadcast(best_vote) if (small or bucket_small) else best_vote
                 )
+                vj = mv.join(bv_b, "id", "left")
                 empty_struct = _cand_struct(
                     F.lit(best_empty), F.lit(0.0), F.col("prev"), node_w
                 )
@@ -518,9 +584,47 @@ def _fennel_partition_impl(
                         _cand_struct(F.col("prev"), F.lit(0.0), F.col("prev"), node_w),
                     )
                     best = F.greatest(F.col("bv"), prev_struct, empty_struct)
-                decided = best_vote.select(
-                    "id", (-best["nc"]).alias("new_partition"), "prev"
-                )
+                if config.inflow_cap_slack is not None:
+                    # bounded inflow: movers admitted to their target
+                    # partition in (score DESC, id ASC) order while the
+                    # cumulative admitted weight stays under the target's
+                    # remaining capacity; the rest keep their previous
+                    # partition. The window runs over the bucket-sized
+                    # decided frame, never the full state.
+                    cap_target = (1.0 + config.inflow_cap_slack) * total_w / k
+                    cap_arr = F.array(*[F.lit(max(0.0, cap_target - s)) for s in sizes])
+                    staged = vj.select(
+                        "id",
+                        (-best["nc"]).alias("new_partition"),
+                        "prev",
+                        best["s"].alias("_score"),
+                        F.col("node_weight").alias("_w"),
+                    )
+                    mover = (F.col("new_partition") != F.col("prev")) & (
+                        F.col("prev") >= 0
+                    )
+                    cum_w = F.sum(
+                        F.when(mover, F.col("_w")).otherwise(F.lit(0.0))
+                    ).over(
+                        Window.partitionBy("new_partition")
+                        .orderBy(F.desc("_score"), F.asc("id"))
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    admitted = cum_w <= F.element_at(
+                        cap_arr, F.col("new_partition").cast("int") + 1
+                    )
+                    decided = staged.select(
+                        "id",
+                        F.when(~mover, F.col("new_partition"))
+                        .when(admitted, F.col("new_partition"))
+                        .otherwise(F.col("prev"))
+                        .alias("new_partition"),
+                        "prev",
+                    )
+                else:
+                    decided = vj.select(
+                        "id", (-best["nc"]).alias("new_partition"), "prev"
+                    )
                 _t2 = _time.time()
                 # two jobs per superstep: (1) cache fill (count — must precede
                 # the localCheckpoint so it carries the cache's real stats, not
@@ -529,7 +633,8 @@ def _fennel_partition_impl(
                 # dedicated eager-checkpoint job the naive loop pays is folded
                 # away. The changed flag rides in the state so no third job.
                 plan = state.join(
-                    F.broadcast(decided) if small else decided, "id", "left"
+                    F.broadcast(decided) if (small or bucket_small) else decided,
+                    "id", "left",
                 ).select(
                     "id",
                     F.coalesce(F.col("new_partition"), F.col("partition")).alias("partition"),
@@ -542,7 +647,16 @@ def _fennel_partition_impl(
                     "w",
                 )
                 cached = plan.persist(StorageLevel.MEMORY_AND_DISK)
-                cached.count()
+                if small:
+                    # with AQE off, downstream broadcast decisions come from
+                    # static plan stats — the count fills the cache first so
+                    # the checkpoint carries real sizes, not compounding
+                    # join estimates
+                    cached.count()
+                # on the web-scale path (AQE on, runtime stats) the stats
+                # aggregation below doubles as the materializing action —
+                # the dedicated cache-fill job would scan the full n-row
+                # state once more per bucket step for nothing
                 new_state = cached.localCheckpoint(eager=False)
                 _t3 = _time.time()
                 # ONE aggregation delivers this step's changed-count AND the
@@ -577,6 +691,7 @@ def _fennel_partition_impl(
                         "bucket_by": config.bucket_by,
                         "bucket_seed": config.bucket_seed,
                         "micro_batches": config.micro_batches,
+                        "inflow_cap_slack": config.inflow_cap_slack,
                         "changed": changed_this_iter,
                     },
                 )
@@ -619,7 +734,7 @@ def _fennel_partition_impl(
             )
 
         if config.foaf:
-            state = _foaf_pass(sym, state, alpha, k, weights)
+            state = _foaf_pass(sym.drop("_eb"), state, alpha, k, weights)
 
 
     finally:
@@ -638,6 +753,35 @@ def _fennel_partition_impl(
     }
     release(sym)
     return result, info
+
+
+def modular_initial(ids: DataFrame, num_partitions: int, seed: int = 0) -> DataFrame:
+    """Balanced deterministic cold-start assignment ``(id + seed) mod k``.
+
+    The batch-synchronous relaxation herds at a cold start: the first bucket's
+    nodes all have zero votes, so every one of them picks the single
+    ``best_empty`` partition — at web scale that is 10^8 nodes into one
+    partition, and the restream loop spends its iterations unwinding the
+    pile-up (measured on the 19.5M-edge synthetic graph: waste 0.98 with
+    half the partitions near-empty after 2 cold-start passes). The reference
+    never hits this because its sequential stream updates sizes after every
+    single node (fennel.pyx:140-149). Seeding the restream from a balanced
+    modular spread is the standard restreaming cold start (Nishimura &
+    Ugander, "Restreaming graph partitioning", KDD'13 — restream passes are
+    refinement over *some* existing assignment): sizes start equal, votes are
+    real from bucket 0, and the loop only ever *moves* nodes. Plain modular
+    arithmetic keeps the schedule replayable by a non-Spark SQL oracle
+    (the driver's DuckDB gate), like ``bucket_by="mod"``.
+
+    ``ids``: any DataFrame with an ``id`` column. Pass the result as
+    ``fennel_partition(..., initial=...)``.
+    """
+    return ids.select(
+        "id",
+        F.pmod(F.col("id") + F.lit(seed), F.lit(num_partitions))
+        .cast("int")
+        .alias("partition"),
+    )
 
 
 def foaf_reassign(

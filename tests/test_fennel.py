@@ -242,13 +242,90 @@ def test_fennel_shuffle_path_matches_broadcast_path(spark):
                              bucket_by="mod")
     from dataclasses import replace
     cfg_scale = replace(cfg_small, broadcast_state_max=0)
+    # third variant: decision frames forced to shuffle too (the true
+    # n/micro_batches > decision_broadcast_max web-scale regime)
+    cfg_noshortcut = replace(cfg_scale, decision_broadcast_max=0)
     a, _ = fennel_partition(edges, cfg_small)
     b, _ = fennel_partition(edges, cfg_scale)
+    c, _ = fennel_partition(edges, cfg_noshortcut)
+    da = {r["id"]: r["partition"] for r in a.collect()}
+    db = {r["id"]: r["partition"] for r in b.collect()}
+    dc = {r["id"]: r["partition"] for r in c.collect()}
+    assert da == db == dc
+    # conf scope restored either way
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_modular_initial_balanced_and_refined(spark):
+    """modular_initial seeds a balanced cold start: every partition starts
+    populated (waste ~0 before any restream), the restream only moves nodes,
+    and the refined result must not be *worse* than the seed on edge cut."""
+    from graph_partitioning_spark.partitioning import modular_initial
+    from graph_partitioning_spark.partitioning.metrics import cut_metrics, waste
+
+    src, dst, w = random_edges(120, 480, seed=93, weighted=True)
+    edges = _edges_df(spark, src, dst, w)
+    ids = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    k = 4
+    seed_assign = modular_initial(ids, k)
+    parts = {r["partition"] for r in seed_assign.select("partition").distinct().collect()}
+    assert parts == set(range(k))
+    seed_waste = waste(seed_assign, k)
+    assert seed_waste < 0.05  # balanced by construction
+
+    cfg = FennelConfig(num_partitions=k, num_iterations=3, micro_batches=4,
+                       bucket_by="mod")
+    refined, info = fennel_partition(edges, cfg, initial=seed_assign)
+    cut_seed = cut_metrics(edges, seed_assign)["cut_ratio"]
+    cut_ref = cut_metrics(edges, refined)["cut_ratio"]
+    assert cut_ref <= cut_seed + 1e-9
+
+
+def test_inflow_cap_identity_when_slack_huge(spark):
+    """A cap that never binds must leave the capped path bit-identical to
+    the uncapped decision logic — pins the window/admission rewrite."""
+    from graph_partitioning_spark.partitioning import modular_initial
+
+    src, dst, w = random_edges(100, 400, seed=96, weighted=True)
+    edges = _edges_df(spark, src, dst, w)
+    ids = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    init = modular_initial(ids, 4)
+    cfg = FennelConfig(num_partitions=4, num_iterations=2, micro_batches=2,
+                       bucket_by="mod")
+    from dataclasses import replace
+    a, _ = fennel_partition(edges, cfg, initial=init)
+    b, _ = fennel_partition(
+        edges, replace(cfg, inflow_cap_slack=1e9), initial=init
+    )
     da = {r["id"]: r["partition"] for r in a.collect()}
     db = {r["id"]: r["partition"] for r in b.collect()}
     assert da == db
-    # conf scope restored either way
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_inflow_cap_bounds_waste(spark):
+    """With unit weights and a balanced modular seed, bounded inflow keeps
+    every partition under (1+slack)·n/k, so waste ≤ slack — even at
+    micro_batches=1, the regime where the uncapped synchronous step herds
+    (BENCH.md round-3: waste 6.25 uncapped on the 195M-edge graph)."""
+    from graph_partitioning_spark.partitioning import modular_initial
+    from graph_partitioning_spark.partitioning.metrics import waste
+
+    src, dst, w = random_edges(150, 700, seed=98, weighted=False)
+    edges = _edges_df(spark, src, dst, w)
+    ids = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    k, slack = 4, 0.3
+    init = modular_initial(ids, k)
+    cfg = FennelConfig(num_partitions=k, num_iterations=3, micro_batches=1,
+                       bucket_by="mod", inflow_cap_slack=slack,
+                       converge_early=False)
+    assign, _ = fennel_partition(edges, cfg, initial=init)
+    assert waste(assign, k) <= slack + 1e-9
 
 
 def test_fennel_rejects_out_of_range_initial(spark):

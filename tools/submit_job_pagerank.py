@@ -5,6 +5,7 @@ no repo checkout needed on the executors, proving the cluster launch path.
 """
 
 import json
+import os
 
 from pyspark.sql import SparkSession
 
@@ -14,7 +15,8 @@ from graph_partitioning_spark.sources import synthetic_edges
 
 def main() -> None:
     spark = SparkSession.builder.appName("gps-submit-smoke").getOrCreate()
-    edges = synthetic_edges(spark, n_pages=200_000).persist()
+    n_pages = int(os.environ.get("SPARK_GRAFT_SUBMIT_PAGES", "200000"))
+    edges = synthetic_edges(spark, n_pages=n_pages).persist()
     m = edges.count()
     ranks, info = pagerank(edges, tol=1e-6, max_iter=30)
     top = ranks.orderBy(ranks.pagerank.desc()).limit(1).collect()[0]
