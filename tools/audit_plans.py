@@ -81,6 +81,32 @@ def main() -> None:
     )
     print("[audit] fennel centrality bucketing: no SinglePartition exchange — OK")
 
+    # CSR block build: the explicit repartition("partition") +
+    # sortWithinPartitions(partition, src, dst) must SATISFY the grouped-map
+    # operator's distribution+ordering — exactly one Exchange
+    # (REPARTITION_BY_COL) and one Sort in the executed plan. A second
+    # exchange/sort means applyInPandas stopped reusing them and the
+    # "kernel receives shuffle-sorted adjacency" invariant silently broke.
+    from graph_partitioning_spark.plans.csr import build_csr_blocks
+    from graph_partitioning_spark.sources import synthetic_edges
+
+    csr_edges = synthetic_edges(spark, 2000)
+    csr_assign = spark.range(2000).select(
+        "id", F.pmod("id", F.lit(2)).cast("int").alias("partition")
+    )
+    csr_plan = (
+        build_csr_blocks(csr_edges, csr_assign)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_shuffle_ex = csr_plan.count("Exchange hashpartitioning")
+    n_sorts = csr_plan.count("Sort [")
+    assert n_shuffle_ex == 1 and n_sorts == 1, (
+        f"CSR build plan regressed: {n_shuffle_ex} shuffle exchanges / "
+        f"{n_sorts} sorts (want 1/1 — grouped-map must reuse the explicit "
+        "repartition+sort):\n" + csr_plan
+    )
+    print("[audit] CSR build: grouped-map reuses the one explicit shuffle+sort — OK")
+
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
