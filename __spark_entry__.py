@@ -36,6 +36,7 @@ from graph_partitioning_spark.data.dedup import MINHASH_PRIME, minhash_params
 from graph_partitioning_spark.data import (
     brute_force_topk,
     bucketed_topk,
+    cosine_near_dup_pairs,
     exact_duplicates,
     fingerprint,
     language_id,
@@ -176,6 +177,8 @@ l{i} AS (
 def _fennel_cte(
     iters: int, buckets: int, k: int, seed: int = 0, p: str = "f",
     init_sql: str = "-1", inflow_slack: float | None = None,
+    strategy: str = "fennel", pre_sql: str = "",
+    bucket_sql: str | None = None, vote_filter_tpl: str | None = None,
 ) -> tuple[str, str]:
     """Chained-CTE replay of the engine's bounded FENNEL restream
     (bucket_by="mod", no fixed nodes, unit node weights). One CTE block per
@@ -189,15 +192,37 @@ def _fennel_cte(
     ranked (score DESC, id ASC) within their target partition, admitted
     while the cumulative moved weight stays under
     ``(1 + slack)·n/k − size_p``; the rest keep their previous partition.
+    ``strategy``: "fennel" (votes − α·size, +α prev credit, prev a
+    candidate) or "ldg" (votes · (capacity − size − w), capacity = n/k
+    unit-weight, NO previous-partition candidate or credit — the engine's
+    ``FennelConfig.strategy="ldg"`` replayed exactly).
+    ``pre_sql``: extra CTEs prepended before the state chain (e.g. the
+    degree-rank table a centrality bucketing needs).
+    ``bucket_sql``: SQL expression over the ``FROM verts``-scoped row for
+    the s0 bucket column (default: the "mod" arithmetic).
+    ``vote_filter_tpl``: votes-pruning WHERE template with a ``{b}``
+    placeholder (default: the id-computable "mod" arithmetic; centrality
+    bucketings pass a membership test against the s0 bucket table —
+    mirroring the engine's semi-join fallback).
     Returns (cte_sql, final_state_name); the final state is (id, p, bucket).
     """
+    if bucket_sql is None:
+        bucket_sql = f"CAST((id + {seed}) % {buckets} AS INT)"
+    if vote_filter_tpl is None:
+        vote_filter_tpl = f"(e.src + {seed}) % {buckets} = {{b}}"
     parts = [
         f"{p}_nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts)",
         f"{p}_mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM edges)",
         f"""{p}_al AS MATERIALIZED (SELECT CAST((SELECT m FROM {p}_mm) * {k} AS DOUBLE)
   / CAST((SELECT n FROM {p}_nn) * (SELECT n FROM {p}_nn) AS DOUBLE) AS a)""",
-        f"{p}_s0 AS MATERIALIZED (SELECT id, {init_sql} AS p, CAST((id + {seed}) % {buckets} AS INT) AS bucket FROM verts)",
     ]
+    if pre_sql:
+        parts.append(pre_sql)
+    parts.append(
+        f"{p}_s0 AS MATERIALIZED (SELECT id, {init_sql} AS p, {bucket_sql} AS bucket FROM {p}_src)"
+        if pre_sql
+        else f"{p}_s0 AS MATERIALIZED (SELECT id, {init_sql} AS p, {bucket_sql} AS bucket FROM verts)"
+    )
     step = 0
     for _ in range(iters):
         for b in range(buckets):
@@ -218,27 +243,40 @@ def _fennel_cte(
   SELECT e.src AS id, st.p AS vp,
          SUM(CASE WHEN e.weight <= 0 THEN 1.0 ELSE e.weight END) AS v
   FROM sym e JOIN {p}_s{ps} st ON st.id = e.dst AND st.p >= 0
-  WHERE (e.src + {seed}) % {buckets} = {b}
+  WHERE {vote_filter_tpl.format(b=b)}
   GROUP BY 1, 2)"""
             )
             parts.append(
                 f"{p}_mv{s} AS MATERIALIZED (SELECT id, p AS prev FROM {p}_s{ps} WHERE bucket = {b})"
             )
+            if strategy == "ldg":
+                # no previous-partition candidate and no +α credit
+                prev_cand = ""
+            else:
+                prev_cand = (
+                    f"    SELECT id, prev, prev AS cand, 0.0 AS v FROM {p}_mv{s} WHERE prev >= 0\n"
+                    f"    UNION ALL\n"
+                )
             parts.append(
                 f"""{p}_cd{s} AS MATERIALIZED (
   SELECT id, prev, cand, MAX(v) AS v FROM (
     SELECT m.id, m.prev, v.vp AS cand, v.v
     FROM {p}_mv{s} m JOIN {p}_vt{s} v ON v.id = m.id
     UNION ALL
-    SELECT id, prev, prev AS cand, 0.0 AS v FROM {p}_mv{s} WHERE prev >= 0
-    UNION ALL
-    SELECT id, prev, (SELECT p FROM {p}_be{s}) AS cand, 0.0 AS v FROM {p}_mv{s}
+{prev_cand}    SELECT id, prev, (SELECT p FROM {p}_be{s}) AS cand, 0.0 AS v FROM {p}_mv{s}
   ) GROUP BY 1, 2, 3)"""
             )
-            score_expr = (
-                f"c.v - (SELECT a FROM {p}_al) * COALESCE(z.sz, 0.0)"
-                f" + CASE WHEN c.cand = c.prev THEN (SELECT a FROM {p}_al) ELSE 0.0 END"
-            )
+            if strategy == "ldg":
+                # capacity = Σw/k (unit weights → n/k); node weight 1.0
+                score_expr = (
+                    f"c.v * (CAST((SELECT n FROM {p}_nn) AS DOUBLE) / {k}"
+                    f" - COALESCE(z.sz, 0.0) - 1.0)"
+                )
+            else:
+                score_expr = (
+                    f"c.v - (SELECT a FROM {p}_al) * COALESCE(z.sz, 0.0)"
+                    f" + CASE WHEN c.cand = c.prev THEN (SELECT a FROM {p}_al) ELSE 0.0 END"
+                )
             if inflow_slack is None:
                 parts.append(
                     f"""{p}_dc{s} AS MATERIALIZED (
@@ -583,6 +621,61 @@ def q_fennel_seeded(spark, sf_dir):
                 bucket_by="mod",
             ),
             initial=modular_initial(verts, K_PARTS),
+        )
+        _EDGE_CACHE[key] = assign
+    return _EDGE_CACHE[key]
+
+
+# LDG gate configuration (F5): same bounded replayable shape as the FENNEL
+# gate but with the linear-deterministic-greedy score and no previous-
+# partition candidate/credit
+LDG_BUCKETS = 4
+
+
+def q_ldg_partition(spark, sf_dir):
+    """LDG (F5, graph-partitioning-ldg.ipynb cell 2) under the bounded
+    deterministic config: score = votes·(capacity − size − w), capacity =
+    Σw/k, no prev credit, (score DESC, partition ASC) tie-break — every
+    superstep replayed by the DuckDB twin."""
+    key = f"{sf_dir}::ldg"
+    if key not in _EDGE_CACHE:
+        e = copurchase_edges(spark, sf_dir)
+        assign, _ = fennel_partition(
+            e,
+            FennelConfig(
+                num_partitions=K_PARTS,
+                num_iterations=FENNEL_ITERS,
+                micro_batches=LDG_BUCKETS,
+                bucket_by="mod",
+                strategy="ldg",
+            ),
+        )
+        _EDGE_CACHE[key] = assign
+    return _EDGE_CACHE[key]
+
+
+# degree_hl gate configuration (F11): high-degree-first bucket schedule
+DEGHL_BUCKETS = 4
+
+
+def q_fennel_degree_hl(spark, sf_dir):
+    """FENNEL under the DEGREE_HL node-reordering scheme (F11, reference
+    utils.py:999-1008): nodes stream in high-degree-first ntile buckets.
+    The oracle replays the rank (degree DESC, id ASC), the exact ntile
+    split arithmetic (first n%b buckets one row larger), and every
+    superstep with the bucket membership votes pruning — upgrading F11
+    from behavior-tested to oracle-verified for the degree_hl slice."""
+    key = f"{sf_dir}::fennel_degree_hl"
+    if key not in _EDGE_CACHE:
+        e = copurchase_edges(spark, sf_dir)
+        assign, _ = fennel_partition(
+            e,
+            FennelConfig(
+                num_partitions=K_PARTS,
+                num_iterations=FENNEL_ITERS,
+                micro_batches=DEGHL_BUCKETS,
+                bucket_by="degree_hl",
+            ),
         )
         _EDGE_CACHE[key] = assign
     return _EDGE_CACHE[key]
@@ -1100,6 +1193,31 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_topk(emb, queries, top_k=5)
 
 
+# embedding-cosine near-dup gate config: the synthetic embeddings are
+# near-random (max pairwise cosine ≈ 0.51 at sf0.01), so the gate threshold
+# sits in the distribution's tail rather than at a production 0.9; the
+# recall-on-true-near-dups semantics are pinned by tests/test_data.py on a
+# crafted duplicate fixture. bands=2 × 8 bits ⇒ ~2% candidate rate here.
+NEARDUP_THRESHOLD = 0.3
+NEARDUP_BITS = 16
+NEARDUP_BANDS = 2
+NEARDUP_DIMS = 64  # the driver testdata's embedding dims (all SFs)
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH
+    (similarity.cosine_near_dup_pairs): signature → band buckets →
+    candidate equi-join → exact thresholded cosine. The DuckDB twin
+    replays the identical Weyl hyperplanes, band keys, and in-order
+    cosine fold."""
+    return cosine_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=NEARDUP_THRESHOLD,
+        bits=NEARDUP_BITS,
+        bands=NEARDUP_BANDS,
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(
@@ -1215,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fennel_partition": q_fennel_partition,
         "fennel_seeded": q_fennel_seeded,
         "fennel_capped": q_fennel_capped,
+        "ldg_partition": q_ldg_partition,
+        "fennel_degree_hl": q_fennel_degree_hl,
         "fennel_quality": q_fennel_quality,
         "fennel_best_of": q_fennel_best_of,
         "fennel_foaf": q_fennel_foaf,
@@ -1235,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_bucketed": q_ann_bucketed,
+        "cosine_near_dup": q_cosine_near_dup,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
         "tpch_q1": q_tpch_q1,
@@ -1270,8 +1391,74 @@ def oracle_sql() -> dict[str, str]:
         FENNEL_ITERS, CAPPED_BUCKETS, K_PARTS, seed=0, p="cp",
         init_sql=f"CAST(id % {K_PARTS} AS INT)", inflow_slack=CAPPED_SLACK,
     )
+    lg_cte, lg_final = _fennel_cte(
+        FENNEL_ITERS, LDG_BUCKETS, K_PARTS, seed=0, p="lg", strategy="ldg",
+    )
+    dh_pre = f"""dh_deg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS score FROM sym GROUP BY 1),
+dh_sc AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.score, 0.0) AS score
+  FROM verts v LEFT JOIN dh_deg d ON d.id = v.id),
+dh_qq AS MATERIALIZED (
+  SELECT (SELECT n FROM dh_nn) // {DEGHL_BUCKETS} AS q,
+         (SELECT n FROM dh_nn) % {DEGHL_BUCKETS} AS rem),
+dh_src AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY -score ASC, id ASC) - 1 AS r
+  FROM dh_sc)"""
+    dh_bucket = (
+        "CAST(CASE WHEN r < (SELECT rem * (q + 1) FROM dh_qq)"
+        " THEN r // (SELECT q + 1 FROM dh_qq)"
+        " ELSE (SELECT rem FROM dh_qq)"
+        " + (r - (SELECT rem * (q + 1) FROM dh_qq))"
+        " // (SELECT GREATEST(q, 1) FROM dh_qq) END AS INT)"
+    )
+    dh_cte, dh_final = _fennel_cte(
+        FENNEL_ITERS, DEGHL_BUCKETS, K_PARTS, seed=0, p="dh",
+        pre_sql=dh_pre, bucket_sql=dh_bucket,
+        vote_filter_tpl="e.src IN (SELECT id FROM dh_s0 WHERE bucket = {b})",
+    )
+
+    # cosine_near_dup: regenerate the Weyl hyperplanes as double literals
+    # (repr round-trips exactly, so DuckDB parses the same doubles Spark
+    # folds) and replay signature -> band keys -> candidate join -> cosine.
+    from graph_partitioning_spark.data.similarity import hyperplane_values
+
+    nd_planes = hyperplane_values(NEARDUP_BITS, NEARDUP_DIMS)
+    nd_bits_sql = "\n     + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(p) for p in nd_planes[j])}]) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(NEARDUP_BITS)
+    )
+    nd_bpb = NEARDUP_BITS // NEARDUP_BANDS
+    nd_mask = (1 << nd_bpb) - 1
+    nd_bands_list = ", ".join(str(t) for t in range(NEARDUP_BANDS))
+    cosine_near_dup_sql = f"""WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+    ({nd_bits_sql}) AS sig
+  FROM emb
+),
+keyed AS (
+  SELECT vec_id, t.band, (sig >> (t.band * {nd_bpb})) & {nd_mask} AS key
+  FROM sig CROSS JOIN (SELECT UNNEST([{nd_bands_list}]) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    ROUND(list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM cand JOIN emb ea ON ea.vec_id = cand.id_a JOIN emb eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}"""
 
     return {
+        "cosine_near_dup": cosine_near_dup_sql,
         "fennel_partition": f"""WITH {EDGES_CTE},
 {f_cte}
 SELECT id, p AS partition FROM {f_final}""",
@@ -1281,6 +1468,12 @@ SELECT id, p AS partition FROM {sd_final}""",
         "fennel_capped": f"""WITH {EDGES_CTE},
 {cp_cte}
 SELECT id, p AS partition FROM {cp_final}""",
+        "ldg_partition": f"""WITH {EDGES_CTE},
+{lg_cte}
+SELECT id, p AS partition FROM {lg_final}""",
+        "fennel_degree_hl": f"""WITH {EDGES_CTE},
+{dh_cte}
+SELECT id, p AS partition FROM {dh_final}""",
         "fennel_quality": f"""WITH {EDGES_CTE},
 {f_cte},
 {_fennel_quality_cte(f_final, "f", 0, K_PARTS)}

@@ -48,12 +48,33 @@ def main() -> None:
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
     def run(name: str, fn) -> None:
+        # Repeat-rep hygiene: queries memoize heavy intermediates in
+        # entry._EDGE_CACHE (the FENNEL assignment, minhash signatures, the
+        # shared edge table). A rep that re-reads its own memo would time
+        # ~0s and turn the median into fiction (measured: fennel_partition
+        # 21s -> 0.07s). So each rep drops the entries the query itself
+        # created — EXCEPT after the final rep, so later queries keep the
+        # intentional cross-query reuse (lsh_pairs reads minhash's
+        # signatures, fennel_quality reads fennel_partition's assignment)
+        # exactly as a single-shot bench run would see it.
         runs = []
-        for _ in range(reps):
+        for i in range(reps):
+            before = set(entry._EDGE_CACHE.keys())
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.time() - t0)
+            if i < reps - 1:
+                for key in set(entry._EDGE_CACHE.keys()) - before:
+                    stale = entry._EDGE_CACHE.pop(key, None)
+                    try:
+                        # popping the dict is not enough: Spark's
+                        # CacheManager matches the NEXT rep's identical
+                        # logical plan against the still-persisted data
+                        # and serves it warm
+                        stale.unpersist()
+                    except Exception:
+                        pass
         timings[name] = round(_median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         sys.stderr.write(

@@ -14,7 +14,13 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import brute_force_topk, bucketed_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    bucketed_topk,
+    cosine_near_dup_pairs,
+    hyperplane_signature,
+    hyperplane_values,
+)
 from .textstats import (  # noqa: F401
     fingerprint,
     language_id,

@@ -13,6 +13,13 @@
   cross join into a co-partitioned equi-join. Exact within the probed
   bucket; recall depends on quantizer quality, which is the standard IVF
   trade.
+- ``cosine_near_dup_pairs``: embedding-cosine near-duplicate detection —
+  the all-pairs analogue of MinHash-LSH for dense vectors. Random-
+  hyperplane signatures (sign of <v, h_j> for ``bits`` deterministic
+  hyperplanes) are banded; only pairs colliding in some band are scored
+  exactly and thresholded. Never a cross join: the candidate set is a
+  (band, key) equi-self-join, hot buckets capped like the shingle
+  postings cap in ``dedup.ngram_jaccard_pairs``.
 """
 
 from __future__ import annotations
@@ -106,4 +113,149 @@ def bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_values(bits: int, dims: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH.
+
+    A Weyl low-discrepancy sequence (golden-ratio stride) centered on 0 —
+    no RNG state, so the planes are pure functions of (bits, dims, seed)
+    and any engine (Spark, the DuckDB oracle, a NumPy test) regenerates
+    bit-identical double literals. Quality is on par with Gaussian planes
+    for sign-LSH: what matters is that the directions are spread, and a
+    Weyl sequence is equidistributed by construction.
+    """
+    out = []
+    for j in range(bits):
+        row = []
+        for d in range(dims):
+            x = ((j * dims + d + 1) * 0.6180339887498949
+                 + seed * 0.7548776662466927) % 1.0
+            row.append(x - 0.5)
+        out.append(row)
+    return out
+
+
+def hyperplane_signature(
+    embeddings: DataFrame,
+    bits: int = 16,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """(id, sig) — ``bits``-bit random-hyperplane (sign) signature.
+
+    sig bit j = 1 iff <v, h_j> > 0. Each dot product is a JVM
+    ``zip_with``+``aggregate`` fold in index order against a literal
+    plane array — one columnar pass over the corpus, no shuffle, no
+    Python. P(bit match) = 1 − angle/π (Charikar's sign-LSH), so banding
+    the signature gives tunable near-dup candidate recall.
+
+    ``dims`` defaults to the length of the first vector (one tiny job).
+    """
+    if dims is None:
+        dims = int(
+            embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+        )
+    planes = hyperplane_values(bits, dims, seed)
+    v = _as_double(F.col(vec_col))
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        plane = F.array(*[F.lit(p) for p in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bits: int = 16,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """(id_a, id_b, cosine) with id_a < id_b and cosine ≥ ``threshold``.
+
+    Embedding-cosine near-duplicate detection, LSH-bucketed so it never
+    cross-joins: sign signatures → ``bands`` band keys per row → self
+    equi-join per (band, key) bucket → exact in-order cosine on the
+    (deduplicated) candidates → threshold filter. Near-identical vectors
+    agree on almost every sign bit, so they collide in every band —
+    recall ≈ 1 where it matters, and the band width (bits/bands) tunes
+    the candidate rate for the grey zone.
+
+    ``max_bucket`` drops degenerate buckets (e.g. the all-zeros
+    signature of a null-vector flood) before the join goes quadratic —
+    same safe-by-default shape as ``dedup.ngram_jaccard_pairs``'s
+    ``max_postings``; pass ``None`` to disable. Dropped buckets are
+    logged to stderr on the driver.
+
+    At 10^12 rows: signature is one scan, banding is ``bands`` rows/doc,
+    the join shuffles on (band, key) with bounded bucket sizes, and only
+    candidate pairs (a tiny fraction) pay the exact-cosine join back to
+    the vectors.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    sigs = hyperplane_signature(
+        embeddings, bits=bits, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    keyed = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", t * bpb).bitwiseAND(F.lit(mask))
+                    for t in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    if max_bucket is not None:
+        sizes = keyed.groupBy("band", "key").agg(F.count("*").alias("n"))
+        hot = sizes.filter(F.col("n") > max_bucket)
+        n_hot = hot.count()
+        if n_hot:
+            import sys
+
+            sys.stderr.write(
+                f"[cosine_near_dup_pairs] dropping {n_hot} bucket(s) larger "
+                f"than {max_bucket} rows (recall trade, see docstring)\n"
+            )
+            keyed = keyed.join(
+                F.broadcast(hot.select("band", "key")), ["band", "key"], "left_anti"
+            )
+    a = keyed.select(F.col("id").alias("id_a"), "band", "key")
+    b = keyed.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return (
+        cand.join(emb.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(emb.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

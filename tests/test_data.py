@@ -243,3 +243,60 @@ def test_ngram_jaccard_postings_cap_recall_trade(spark):
     assert (0, 1) in capped              # identical docs still pair up
     for pair, j in capped.items():
         assert j <= uncapped[pair] + 1e-9  # understated only
+
+
+def test_cosine_near_dup_recall_and_exactness(spark):
+    """Banded sign-LSH near-dup (similarity.cosine_near_dup_pairs):
+    near-identical vectors (tiny perturbation) MUST pair up (they agree on
+    every sign bit, so they collide in every band), reported cosines match a
+    NumPy brute force to 1e-6, and no pair below threshold leaks through."""
+    import numpy as np
+
+    from graph_partitioning_spark.data import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    dims, n = 16, 40
+    base = rng.randn(n, dims)
+    # rows 0/1 and 2/3 are near-duplicates; everything else is random
+    base[1] = base[0] + 1e-4 * rng.randn(dims)
+    base[3] = base[2] + 1e-4 * rng.randn(dims)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(df, threshold=0.95, bits=16, bands=4).collect()
+    }
+    assert (0, 1) in got and (2, 3) in got
+    V = np.array([np.array(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(V, axis=1)
+    for (a, b), c in got.items():
+        exact = float(V[a] @ V[b] / (norms[a] * norms[b]))
+        assert abs(c - round(exact, 6)) < 1e-6
+        assert c >= 0.95
+
+
+def test_cosine_near_dup_bucket_cap(spark):
+    """max_bucket drops degenerate hot buckets (pair set only shrinks) and
+    the surviving pairs keep their exact cosines."""
+    import numpy as np
+
+    from graph_partitioning_spark.data import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    dims = 8
+    v = rng.randn(dims)
+    # 30 near-copies of one vector -> one hot bucket in every band
+    rows = [(i, [float(x) for x in v + 1e-5 * rng.randn(dims)]) for i in range(30)]
+    rows += [(100 + i, [float(x) for x in rng.randn(dims)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.9, bits=8, bands=2, max_bucket=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.9, bits=8, bands=2, max_bucket=20).collect()
+    }
+    assert len(full) >= 30 * 29 // 2  # the clone cluster all pairs up
+    assert capped <= full
+    assert len(capped) < len(full)  # the hot bucket actually got dropped
