@@ -67,8 +67,10 @@ from graph_partitioning_spark.partitioning import (
     loneliness_wavg,
     modularity,
     nmi,
+    permanence,
     rbse,
     waste,
+    wavg_permanence,
 )
 
 K_PARTS = 8  # partition count for the hash-assignment metric queries
@@ -324,6 +326,88 @@ def _fennel_cte(
   FROM {p}_s{ps} st LEFT JOIN {dec} d ON d.id = st.id)"""
             )
     return ",\n".join(parts), f"{p}_s{step}"
+
+
+def _permanence_cte(p: str, edges: str, sym: str, lab: str) -> tuple[str, str]:
+    """CTEs for per-vertex permanence (KDD'14 closed form) over canonical
+    ``edges`` / symmetrized ``sym`` with labels ``lab`` (id, label):
+    per-(vertex, community) neighbor counts → deg / internal / E_max;
+    triangle enumeration (each triangle once via src<dst wedge closure —
+    the triangle SET is orientation-independent, so the oracle's id-order
+    orientation replays the engine's degree-order one) → all-same-community
+    corner credits → c_in; then the Perm(v) arithmetic in the exact
+    expression order the engine uses. Returns (sql, final_cte)."""
+    sql = f"""{p}nb AS MATERIALIZED (
+  SELECT s.src AS id, lv.label AS c_v, lu.label AS c_u
+  FROM {sym} s JOIN {lab} lv ON lv.id = s.src JOIN {lab} lu ON lu.id = s.dst),
+{p}pc AS MATERIALIZED (
+  SELECT id, c_v, c_u, COUNT(*) AS n FROM {p}nb GROUP BY 1, 2, 3),
+{p}st AS MATERIALIZED (
+  SELECT id, SUM(n) AS deg,
+         SUM(CASE WHEN c_u = c_v THEN n ELSE 0 END) AS internal,
+         MAX(CASE WHEN c_u <> c_v THEN n END) AS emax
+  FROM {p}pc GROUP BY id),
+{p}tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {edges} e1 JOIN {edges} e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN {edges} e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+{p}tin AS MATERIALIZED (
+  SELECT id, COUNT(*) AS t_in FROM (
+    SELECT UNNEST([t.a, t.b, t.c]) AS id
+    FROM {p}tri t JOIN {lab} la ON la.id = t.a
+                  JOIN {lab} lb ON lb.id = t.b
+                  JOIN {lab} lc ON lc.id = t.c
+    WHERE la.label = lb.label AND lb.label = lc.label
+  ) GROUP BY id),
+{p}pm AS MATERIALIZED (
+  SELECT s.id,
+         ROUND(CAST(s.internal AS DOUBLE)
+                 / (CAST(COALESCE(s.emax, 1) AS DOUBLE) * CAST(s.deg AS DOUBLE))
+               - (1.0 - CASE WHEN s.internal >= 2
+                             THEN 2.0 * COALESCE(t.t_in, 0)
+                                  / (CAST(s.internal AS DOUBLE)
+                                     * (CAST(s.internal AS DOUBLE) - 1.0))
+                             ELSE 0.0 END), 6) AS permanence
+  FROM {p}st s LEFT JOIN {p}tin t ON t.id = s.id)"""
+    return sql, f"{p}pm"
+
+
+def _wavg_permanence_sql(k: int, lpa_iters: int) -> str:
+    """Oracle for q_wavg_permanence: intra-partition subgraph (modular
+    assignment) → bounded weighted LPA → per-vertex permanence within the
+    subgraph → per-partition mean → population-weighted average."""
+    lpa_chain = ["wl0 AS MATERIALIZED (SELECT id, id AS label FROM wverts)"]
+    for i in range(1, lpa_iters + 1):
+        lpa_chain.append(
+            f"""wv{i} AS MATERIALIZED (
+  SELECT s.src AS id, l.label, SUM(s.weight) AS v
+  FROM wsym s JOIN wl{i-1} l ON l.id = s.dst
+  GROUP BY 1, 2
+),
+wl{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC, label ASC) AS rn
+    FROM wv{i}
+  ) WHERE rn = 1
+)"""
+        )
+    lpa = ",\n".join(lpa_chain)
+    perm_cte, perm_final = _permanence_cte("wp", "ww", "wsym", f"wl{lpa_iters}")
+    return f"""ww AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight FROM edges e
+  WHERE CAST(e.src % {k} AS INT) = CAST(e.dst % {k} AS INT)),
+wsym AS MATERIALIZED (
+  SELECT src, dst, weight FROM ww
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM ww),
+wverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM wsym),
+{lpa},
+{perm_cte},
+wagg AS (
+  SELECT CAST(id % {k} AS INT) AS p, AVG(permanence) AS mp, COUNT(*) AS n
+  FROM {perm_final} GROUP BY 1)
+SELECT ROUND(SUM(mp * n) / SUM(n), 6) AS wavg_permanence FROM wagg"""
 
 
 def _community_wavg_sql(k: int, lpa_iters: int) -> str:
@@ -1061,6 +1145,30 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
     return ",\n".join(parts)
 
 
+def q_permanence(spark, sf_dir):
+    """Per-vertex permanence (KDD'14 closed form) of the bounded LPA(2)
+    community assignment — the in-engine version of the reference's MaxPerm
+    metric column (utils.py:629-665 shells out to the C binary; the binary's
+    internal detection stays a non-goal). The DuckDB twin replays LPA, the
+    per-(vertex, community) neighbor counts, E_max, and the all-same-
+    community triangle term."""
+    e = copurchase_edges(spark, sf_dir)
+    labels, _ = label_propagation(e, max_iter=2)
+    return permanence(e, labels.select("id", "label"))
+
+
+def q_wavg_permanence(spark, sf_dir):
+    """The reference's wavg_max_perm shape (utils.py:602-627): per-partition
+    induced subgraphs → bounded LPA(2) communities → mean vertex permanence
+    → population-weighted average, one row."""
+    e = copurchase_edges(spark, sf_dir)
+    a = _hash_assignments(spark, sf_dir)
+    val = wavg_permanence(e, a, K_PARTS, lpa_iterations=2)
+    return spark.createDataFrame(
+        [(round(val, 6),)], "wavg_permanence double"
+    )
+
+
 def q_qds_conductance(spark, sf_dir):
     e = copurchase_edges(spark, sf_dir)
     labels = _hash_assignments(spark, sf_dir).select(
@@ -1343,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrival_sim": q_arrival_sim,
         "qds_conductance": q_qds_conductance,
         "community_wavg": q_community_wavg,
+        "permanence": q_permanence,
+        "wavg_permanence": q_wavg_permanence,
         "media_features": q_media_features,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1457,8 +1567,16 @@ scored AS (
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}"""
 
+    pm_cte, pm_final = _permanence_cte("pp", "edges", "sym", "l2")
+
     return {
         "cosine_near_dup": cosine_near_dup_sql,
+        "permanence": f"""WITH {EDGES_CTE},
+{_lpa_cte(2)},
+{pm_cte}
+SELECT id, permanence FROM {pm_final}""",
+        "wavg_permanence": f"""WITH {EDGES_CTE},
+{_wavg_permanence_sql(K_PARTS, 2)}""",
         "fennel_partition": f"""WITH {EDGES_CTE},
 {f_cte}
 SELECT id, p AS partition FROM {f_final}""",

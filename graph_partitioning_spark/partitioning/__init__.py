@@ -17,8 +17,10 @@ from .metrics import (  # noqa: F401
     modularity,
     partition_community_quality,
     partition_populations,
+    permanence,
     partition_sizes,
     quality_suite,
     rbse,
     waste,
+    wavg_permanence,
 )

@@ -399,6 +399,150 @@ def community_quality(edges: DataFrame, labels: DataFrame) -> dict[str, float]:
         pair.unpersist()
 
 
+def permanence(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(id, permanence) — per-vertex permanence of a community assignment
+    (Chakraborty, Srinivasan, Ganguly, Mukherjee, "On the permanence of
+    vertices in network communities", KDD 2014):
+
+      Perm(v) = I(v) / (E_max(v) · deg(v)) − (1 − c_in(v))
+
+    with I(v) = number of neighbors sharing v's community, E_max(v) = max
+    connections from v into any single *other* community (1 if v has no
+    external neighbors — the paper's ÷0 convention), and c_in(v) the
+    clustering among v's internal neighbors: 2·T_in(v)/(I(v)·(I(v)−1)),
+    T_in(v) = triangles through v whose three vertices share v's community
+    (an edge between two internal neighbors of v is exactly such a
+    triangle); 0 when I(v) < 2. Unweighted simple-graph semantics, matching
+    the edge list the reference feeds its MaxPerm C binary
+    (/root/reference/graph_partitioning/utils.py:629-665).
+
+    The reference's 12-metric row obtains this column from that external
+    binary (run_max_perm, utils.py:629) — the binary's internal community
+    *detection* stays a non-goal; this computes the published closed form
+    for a given assignment in-engine. Plan: one neighbor relabel join +
+    per-(v, community) count (two shuffles), and the T_in term rides the
+    degree-ordered triangle enumeration (O(√m) out-degree bound), so hubs
+    never self-join — the same shape that makes T4 survive power-law
+    graphs. Vertices with no edges are omitted (deg 0 ⇒ undefined).
+    """
+    from ..graph.triangles import triangle_triples
+
+    lab = labels.select("id", "label")
+    sym = symmetrize(edges).select("src", "dst")
+    nbr = (
+        sym.join(
+            lab.withColumnRenamed("id", "src").withColumnRenamed("label", "c_v"),
+            "src",
+        ).join(
+            lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "c_u"),
+            "dst",
+        )
+    )
+    per_comm = nbr.groupBy(F.col("src").alias("id"), "c_v", "c_u").agg(
+        F.count("*").alias("n")
+    )
+    stats = per_comm.groupBy("id").agg(
+        F.sum("n").alias("deg"),
+        F.sum(
+            F.when(F.col("c_u") == F.col("c_v"), F.col("n")).otherwise(F.lit(0))
+        ).alias("internal"),
+        F.max(F.when(F.col("c_u") != F.col("c_v"), F.col("n"))).alias("emax"),
+    )
+    tri = triangle_triples(edges)
+    for corner in ("a", "b", "c"):
+        tri = tri.join(
+            lab.withColumnRenamed("id", corner).withColumnRenamed(
+                "label", f"l_{corner}"
+            ),
+            corner,
+        )
+    t_in = (
+        tri.filter(
+            (F.col("l_a") == F.col("l_b")) & (F.col("l_b") == F.col("l_c"))
+        )
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("t_in"))
+    )
+    j = stats.join(t_in, "id", "left").withColumn(
+        "t_in", F.coalesce(F.col("t_in"), F.lit(0))
+    )
+    d_in = F.col("internal").cast("double")
+    c_in = F.when(
+        F.col("internal") >= 2, 2.0 * F.col("t_in") / (d_in * (d_in - 1.0))
+    ).otherwise(F.lit(0.0))
+    perm = (
+        F.col("internal")
+        / (F.coalesce(F.col("emax"), F.lit(1)).cast("double") * F.col("deg"))
+    ) - (1.0 - c_in)
+    return j.select("id", F.round(perm, 6).alias("permanence"))
+
+
+def wavg_permanence(
+    edges: DataFrame,
+    assignments: DataFrame,
+    num_partitions: int,
+    lpa_iterations: int = 2,
+) -> float:
+    """Population-weighted average network permanence over per-partition
+    induced subgraphs — the reference's wavg_max_perm shape
+    (/root/reference/graph_partitioning/utils.py:602-627): for each
+    partition, take the subgraph of intra-partition edges, find communities,
+    average the per-vertex permanence, then weight each partition's mean by
+    its (subgraph) population. The community-detection step uses the
+    engine's bounded deterministic LPA instead of the MaxPerm binary's
+    internal permanence maximizer (documented difference — the binary is
+    the declared non-goal; the metric arithmetic is the published closed
+    form via :func:`permanence`). Cut edges are gone from the subgraph, so
+    one global LPA over the intra-partition edge list is per-partition
+    detection — labels cannot cross partitions.
+    """
+    from ..graph.labelprop import label_propagation
+
+    a = assignments.select("id", "partition").filter(
+        (F.col("partition") >= 0) & (F.col("partition") < num_partitions)
+    )
+    e = (
+        edges.select("src", "dst", "weight")
+        .join(
+            a.withColumnRenamed("id", "src").withColumnRenamed(
+                "partition", "p_src"
+            ),
+            "src",
+        )
+        .join(
+            a.withColumnRenamed("id", "dst").withColumnRenamed(
+                "partition", "p_dst"
+            ),
+            "dst",
+        )
+        .filter(F.col("p_src") == F.col("p_dst"))
+        .select("src", "dst", "weight", F.col("p_src").alias("p"))
+        .persist()
+    )
+    try:
+        intra = e.select("src", "dst", "weight")
+        labels, _ = label_propagation(intra, max_iter=lpa_iterations)
+        perm = permanence(intra, labels)
+        vp = (
+            e.select(F.col("src").alias("id"), "p")
+            .union(e.select(F.col("dst").alias("id"), "p"))
+            .distinct()
+        )
+        row = (
+            perm.join(vp, "id")
+            .groupBy("p")
+            .agg(F.avg("permanence").alias("mp"), F.count("*").alias("n"))
+            .agg(
+                (F.sum(F.col("mp") * F.col("n")) / F.sum("n")).alias("wavg")
+            )
+            .first()
+        )
+        return float(row["wavg"]) if row["wavg"] is not None else 0.0
+    finally:
+        e.unpersist()
+
+
 def partition_community_quality(
     edges: DataFrame,
     assignments: DataFrame,
@@ -700,11 +844,13 @@ def quality_suite(
 
     Qds/conductance come from ``partition_community_quality`` (communities
     via in-engine LPA instead of the reference's Infomap subprocess — the
-    declared substitution) when ``community_metrics`` is on; the division-
-    level Q/Qds/conductance of the partition assignment itself come from
-    ``community_quality``. Of the reference's 12 columns only MAXPERM (an
-    external C scorer, utils.py:602-665) and NMI/F-score (need a second
-    labeling — separate ``nmi``/``fscore`` calls) are not in this row."""
+    declared substitution) when ``community_metrics`` is on, as does MAXPERM
+    (``wavg_permanence`` — the published permanence closed form with LPA
+    detection instead of the MaxPerm binary's internal maximizer,
+    utils.py:602-665); the division-level Q/Qds/conductance of the partition
+    assignment itself come from ``community_quality``. Of the reference's 12
+    columns only NMI/F-score (need a second labeling — separate
+    ``nmi``/``fscore`` calls) are not in this row."""
     out = {"waste": waste(assignments, num_partitions, vertices)}
     out.update(cut_metrics(edges, assignments))
     out["rbse"] = rbse(edges, assignments)
@@ -719,4 +865,5 @@ def quality_suite(
     out["conductance"] = cq["conductance"]
     if community_metrics:
         out.update(partition_community_quality(edges, assignments))
+        out["maxperm_wavg"] = wavg_permanence(edges, assignments, num_partitions)
     return out

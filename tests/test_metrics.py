@@ -172,7 +172,7 @@ def test_quality_suite_has_full_metric_row(spark, fixture):
     for key in (
         "waste", "cut_ratio", "edges_cut", "total_comm_volume", "rbse",
         "loneliness", "modularity", "qds", "conductance",
-        "q_wavg", "qds_wavg", "conductance_wavg",
+        "q_wavg", "qds_wavg", "conductance_wavg", "maxperm_wavg",
     ):
         assert key in row, key
 
@@ -188,3 +188,74 @@ def test_partition_community_quality_csr_kernel_parity(spark, fixture):
     )
     for key in dist:
         assert csr[key] == pytest.approx(dist[key], rel=1e-12), key
+
+
+def _permanence_brute(src, dst, labels):
+    """NumPy re-statement of KDD'14 permanence for the test graph."""
+    import collections
+
+    nbrs = collections.defaultdict(set)
+    for s, d in zip(src, dst):
+        nbrs[int(s)].add(int(d))
+        nbrs[int(d)].add(int(s))
+    out = {}
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        internal = [u for u in ns if labels[u] == labels[v]]
+        ext = collections.Counter(labels[u] for u in ns if labels[u] != labels[v])
+        emax = max(ext.values()) if ext else 1
+        d_in = len(internal)
+        t_in = sum(
+            1
+            for i, u in enumerate(internal)
+            for w_ in internal[i + 1 :]
+            if w_ in nbrs[u]
+        )
+        c_in = 2.0 * t_in / (d_in * (d_in - 1.0)) if d_in >= 2 else 0.0
+        out[v] = internal.__len__() / (emax * float(deg)) - (1.0 - c_in)
+    return out
+
+
+def test_permanence_brute_force_oracle(spark, fixture):
+    """permanence() vs a per-vertex NumPy brute force (neighbor sets,
+    E_max, internal-neighbor clustering) on the random fixture graph with
+    random communities — covers external-heavy, internal-only (E_max→1),
+    and d_in<2 (c_in→0) vertices."""
+    edges, (src, dst, w), assign, weights, a_df, v_df, ids = fixture
+    labels = {int(v): int(v) % 3 for v in ids}
+    l_df = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got = {r["id"]: r["permanence"] for r in M.permanence(edges, l_df).collect()}
+    want = _permanence_brute(src, dst, labels)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(round(want[v], 6), abs=2e-6), v
+
+
+def test_permanence_clique_is_one(spark):
+    """A disjoint clique whose community covers it exactly scores
+    permanence 1.0 for every vertex (I=deg, E_max=1, c_in=1)."""
+    n = 6
+    rows = [(i, j, 1.0) for i in range(n) for j in range(i + 1, n)]
+    rows += [(10 + i, 10 + j, 1.0) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    lab = [(i, 0) for i in range(n)] + [(10 + i, 1) for i in range(4)]
+    l_df = spark.createDataFrame(lab, "id long, label long")
+    got = M.permanence(edges, l_df).collect()
+    assert len(got) == n + 4
+    for r in got:
+        assert r["permanence"] == pytest.approx(1.0)
+
+
+def test_wavg_permanence_two_cliques(spark):
+    """Two cliques split cleanly into two partitions: within-partition LPA
+    finds each clique as one community, so the weighted-average network
+    permanence is 1.0; a cross-clique bridge edge is cut away by the
+    intra-partition filter and must not change the score."""
+    rows = [(i, j, 1.0) for i in range(5) for j in range(i + 1, 5)]
+    rows += [(10 + i, 10 + j, 1.0) for i in range(5) for j in range(i + 1, 5)]
+    rows += [(0, 10, 1.0)]  # bridge between partitions -> dropped
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    assign = [(i, 0) for i in range(5)] + [(10 + i, 1) for i in range(5)]
+    a_df = spark.createDataFrame(assign, "id long, partition int")
+    got = M.wavg_permanence(edges, a_df, 2, lpa_iterations=4)
+    assert got == pytest.approx(1.0, abs=1e-9)
