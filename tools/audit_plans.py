@@ -107,6 +107,28 @@ def main() -> None:
     )
     print("[audit] CSR build: grouped-map reuses the one explicit shuffle+sort — OK")
 
+    # cosine_near_dup: the LSH-bucketed near-dup path must never plan a
+    # cartesian/broadcast-nested-loop product — the whole point of banding
+    # is that candidates come from a (band, key) equi-join
+    from graph_partitioning_spark.data import cosine_near_dup_pairs
+
+    nd_emb = spark.range(0, 5_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 3) % 17).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    nd_plan = (
+        cosine_near_dup_pairs(nd_emb, threshold=0.9, bits=8, bands=2, max_bucket=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in nd_plan, (
+            f"cosine_near_dup_pairs plan contains {bad} — the banded LSH "
+            "equi-join regressed to an all-pairs product:\n" + nd_plan
+        )
+    print("[audit] cosine_near_dup: equi-join only, no all-pairs product — OK")
+
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
