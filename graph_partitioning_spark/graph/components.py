@@ -68,13 +68,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     return to_min.union(self_edge).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    row = e.agg(
+def _fingerprint_aggs() -> list:
+    # built lazily: Column construction needs an active SparkContext
+    return [
         F.count("*").alias("c"),
         F.coalesce(
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
         ).alias("h"),
-    ).first()
+    ]
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(*_fingerprint_aggs()).first()
     return int(row["c"]), int(row["h"])
 
 
@@ -119,8 +124,10 @@ def connected_components(
     while it < max_iter:
         it += 1
         m = fp[0]
-        new_e = loop.advance(_small_star(_large_star(e)))
-        new_fp = _fingerprint(new_e)
+        new_e, fp_row = loop.advance_agg(
+            _small_star(_large_star(e)), _fingerprint_aggs()
+        )
+        new_fp = (int(fp_row["c"]), int(fp_row["h"]))
         counters.edges_scanned += 2 * m
         counters.messages_exchanged += 2 * m
         if checkpointer is not None:

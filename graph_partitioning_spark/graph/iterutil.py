@@ -96,15 +96,42 @@ class LoopState:
         self._pending: list[DataFrame] = []
 
     def advance(self, new_df: DataFrame, force_truncate: bool = False) -> DataFrame:
+        state, _ = self._advance(new_df, None, force_truncate)
+        return state
+
+    def advance_agg(
+        self, new_df: DataFrame, aggs: list, force_truncate: bool = False
+    ):
+        """advance() fused with the caller's per-superstep aggregate.
+
+        The materializing action becomes ``new_df.agg(*aggs).first()`` — an
+        aggregate scans every partition, so the one job both populates the
+        cache and returns the Row the loop needs (changed-count, fingerprint,
+        convergence delta). Running it as a separate job after a
+        materialize-count would re-analyze the same plan on the driver and
+        schedule a second scan: planning + scheduling are serial, which is
+        what caps N→4N scaling efficiency on iterative loops.
+        Returns ``(state, row)``.
+        """
+        return self._advance(new_df, aggs, force_truncate)
+
+    def _advance(self, new_df: DataFrame, aggs, force_truncate: bool):
         from pyspark.storagelevel import StorageLevel
 
         self.step += 1
         truncate = force_truncate or (self.step % self.truncate_every == 0)
+        cached = new_df.persist(StorageLevel.MEMORY_AND_DISK)
+        row = cached.agg(*aggs).first() if aggs is not None else None
+        if row is None:
+            cached.count()
         if truncate:
-            new_state = materialize(new_df)
+            # cache already populated, so the eager checkpoint is a
+            # cache→checkpoint copy carrying the InMemoryRelation's real
+            # (small) stats — see materialize() for why that matters
+            new_state = cached.localCheckpoint(eager=True)
+            cached.unpersist()
         else:
-            new_state = new_df.persist(StorageLevel.MEMORY_AND_DISK)
-            new_state.count()
+            new_state = cached
         old = self.current
         self.current = new_state
         if truncate:
@@ -115,7 +142,7 @@ class LoopState:
             self._pending = []
         elif old is not None:
             self._pending.append(old)
-        return new_state
+        return new_state, row
 
     def set_initial(self, df: DataFrame) -> DataFrame:
         self.current = materialize(df)

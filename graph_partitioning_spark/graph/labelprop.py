@@ -84,9 +84,11 @@ def label_propagation(
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
         )
-        joined = loop.advance(joined)
-
-        changed = joined.filter(F.col("_changed")).count()
+        joined, changed_row = loop.advance_agg(
+            joined,
+            [F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0)).alias("changed")],
+        )
+        changed = int(changed_row["changed"])
         counters.edges_scanned += m
         counters.messages_exchanged += m
 

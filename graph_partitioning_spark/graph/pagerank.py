@@ -131,13 +131,17 @@ def pagerank(
     import time as _time
 
     _debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG"))
-    # Two jobs per superstep: (1) materialize the new rank state into the
-    # cache, (2) one combined aggregate over it producing BOTH the
-    # convergence delta and the next iteration's dangling mass — the
-    # separate dangling job the naive loop would run is folded away.
+    # ONE job per superstep: the new rank state is persisted lazily and the
+    # combined delta+dangling aggregate both populates the cache (an
+    # aggregate scans every partition) and returns the convergence delta and
+    # the next iteration's dangling mass. A separate materialize-count job
+    # would re-analyze the same deep plan on the driver a second time —
+    # planning + scheduling are serial, so at high core counts that second
+    # job is what caps scaling efficiency, not the superstep's real work.
     # States are persisted (real stats, constant digits); the plan is
-    # hard-truncated via localCheckpoint only every few supersteps, which
-    # bounds plan depth while avoiding a third job on the common path.
+    # hard-truncated via localCheckpoint only every few supersteps (reading
+    # from the already-populated cache), which bounds plan depth while
+    # keeping the common path at a single job.
     TRUNCATE_EVERY = 4
     dangling = (
         ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
@@ -171,23 +175,26 @@ def pagerank(
             )
         )
         truncate = (it % TRUNCATE_EVERY == 0) or checkpointer is not None
-        if truncate:
-            new_ranks = materialize(new_ranks)
-        else:
-            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            new_ranks.count()
-        _t1 = _time.time()
-
+        new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
         row = new_ranks.agg(
             F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
             F.sum(F.when(~F.col("has_out"), F.col("rank"))).alias("dangling"),
         ).first()
         delta = row["delta"]
         dangling = row["dangling"] or 0.0
+        _t1 = _time.time()
+        if truncate:
+            # cache is already populated by the aggregate scan above, so the
+            # eager checkpoint is a cache→checkpoint copy with real (small)
+            # carried stats — the compounding-sizeInBytes trap documented in
+            # iterutil.materialize never arises
+            cached = new_ranks
+            new_ranks = cached.localCheckpoint(eager=True)
+            cached.unpersist()
         if _debug:
             print(
-                f"[pagerank] iter={it} mat={_t1 - _t0:.2f}s "
-                f"agg={_time.time() - _t1:.2f}s delta={delta:.2e}",
+                f"[pagerank] iter={it} job={_t1 - _t0:.2f}s "
+                f"trunc={_time.time() - _t1:.2f}s delta={delta:.2e}",
                 flush=True,
             )
         counters.edges_scanned += m
