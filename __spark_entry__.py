@@ -1388,6 +1388,34 @@ def q_leverage_centrality(spark, sf_dir):
     return lev.select("id", F.round("leverage", 6).alias("leverage"))
 
 
+BN_BATCH = 100  # arrival batch size for the bottleneck-reorder gate query
+
+
+def q_bottleneck_order(spark, sf_dir):
+    """F11 bottleneck node reordering (reference utils.py:1285-1354 +
+    bottleneck.r): every arrival batch re-sequenced by in-engine BN
+    centrality, alone nodes last. The oracle replays the deterministic BFS
+    trees with recursive CTEs (capped-walk distances → min-id parents →
+    ancestor closure → subtree counts)."""
+    from graph_partitioning_spark.partitioning.arrival import bottleneck_arrival_order
+
+    e = copurchase_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    arr = verts.select("id", F.lit(1).alias("arrived"), F.col("id").alias("seq"))
+    out = bottleneck_arrival_order(e.select("src", "dst"), arr, BN_BATCH)
+    return out.select(
+        "id",
+        F.col("arrived").cast("int").alias("arrived"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("batch").cast("long").alias("batch"),
+        F.col("bottleneck").cast("long").alias("bottleneck"),
+    )
+
+
 def q_orders_running_total(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1471,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "leverage_centrality": q_leverage_centrality,
+        "bottleneck_order": q_bottleneck_order,
         "orders_running_total": q_orders_running_total,
         "parts_never_ordered": q_parts_never_ordered,
         "events_zscore": q_events_zscore,
@@ -2088,6 +2117,67 @@ SELECT s.src AS id,
        ROUND(AVG((di.k - dj.k) * 1.0 / (di.k + dj.k)), 6) AS leverage
 FROM sym s JOIN deg di ON di.id = s.src JOIN deg dj ON dj.id = s.dst
 GROUP BY s.src""",
+        "bottleneck_order": f"""WITH RECURSIVE {EDGES_CTE},
+ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rnk FROM verts),
+bnodes AS (SELECT id, CAST(rnk // {BN_BATCH} AS BIGINT) AS batch FROM ranked),
+be AS (
+  SELECT bs.batch, e.src AS u, e.dst AS v FROM edges e
+    JOIN bnodes bs ON bs.id = e.src JOIN bnodes bd ON bd.id = e.dst
+    WHERE bs.batch = bd.batch
+  UNION ALL
+  SELECT bs.batch, e.dst, e.src FROM edges e
+    JOIN bnodes bs ON bs.id = e.src JOIN bnodes bd ON bd.id = e.dst
+    WHERE bs.batch = bd.batch
+),
+gnodes AS (SELECT DISTINCT batch, u AS id FROM be),
+-- BFS distances: capped deduped walk (cap 10 >> any batch-subgraph
+-- diameter at the gate SF), dist = MIN(d)
+walk(batch, root, node, d) AS (
+  SELECT batch, id, id, 0 FROM gnodes
+  UNION
+  SELECT w.batch, w.root, be.v, w.d + 1
+  FROM walk w JOIN be ON be.batch = w.batch AND be.u = w.node
+  WHERE w.d < 10
+),
+dmin AS (SELECT batch, root, node, MIN(d) AS dist FROM walk GROUP BY 1, 2, 3),
+-- deterministic shortest-path tree: parent = min-id neighbor one level up
+par AS (
+  SELECT c.batch, c.root, c.node, MIN(be.v) AS parent
+  FROM dmin c
+  JOIN be ON be.batch = c.batch AND be.u = c.node
+  JOIN dmin p ON p.batch = c.batch AND p.root = c.root AND p.node = be.v
+             AND p.dist = c.dist - 1
+  WHERE c.dist > 0
+  GROUP BY 1, 2, 3
+),
+-- ancestor closure: v on path(root→t) ⇔ (t, v) ∈ anc; t itself counts
+anc(batch, root, t, a) AS (
+  SELECT batch, root, node, node FROM dmin WHERE dist > 0
+  UNION ALL
+  SELECT x.batch, x.root, x.t, p.parent
+  FROM anc x JOIN par p ON p.batch = x.batch AND p.root = x.root AND p.node = x.a
+),
+cnt AS (SELECT batch, root, a AS node, COUNT(*) AS c FROM anc WHERE a <> root GROUP BY 1, 2, 3),
+ntree AS (SELECT batch, root, COUNT(*) AS nt FROM dmin GROUP BY 1, 2),
+bn AS (
+  SELECT c.batch, c.node AS id, CAST(COUNT(*) AS BIGINT) AS bottleneck
+  FROM cnt c JOIN ntree t ON t.batch = c.batch AND t.root = c.root
+  WHERE 4 * c.c > t.nt GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.id, b.batch, COALESCE(x.bottleneck, 0) AS bottleneck,
+         (g.id IS NULL) AS alone
+  FROM bnodes b
+  LEFT JOIN gnodes g ON g.batch = b.batch AND g.id = b.id
+  LEFT JOIN bn x ON x.batch = b.batch AND x.id = b.id
+)
+SELECT id, CAST(1 AS INT) AS arrived,
+       CAST(batch * {BN_BATCH}
+         + ROW_NUMBER() OVER (PARTITION BY batch
+                              ORDER BY alone ASC, bottleneck DESC, id ASC) - 1
+         AS BIGINT) AS seq,
+       batch, CAST(bottleneck AS BIGINT) AS bottleneck
+FROM scored""",
         "orders_running_total": """SELECT o_orderkey, o_custkey,
        ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey), 4) AS running_total

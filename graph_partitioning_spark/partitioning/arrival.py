@@ -373,3 +373,81 @@ def simulate_arrivals(
         "n_batches": n_batches,
     }
     return final, metrics_df, info
+
+
+def bottleneck_arrival_order(
+    edges: DataFrame,
+    arrivals: DataFrame,
+    batch_size: int,
+    max_component: int = 200_000,
+) -> DataFrame:
+    """Re-sequence each arrival batch by bottleneck centrality (F11).
+
+    The reference's ``bottleneck_node_ordering`` (utils.py:1285-1354 +
+    ``_prepareGraphForRCentrality``): take the subgraph induced by the
+    batch's nodes, score each connected sub-network with BN centrality
+    (there via an R centiserve subprocess per sub-network, here via the
+    in-engine ``bottleneck_centrality`` kernel), stream high scores first,
+    and append the batch's degree-0 ("alone") nodes at the end. Ties and
+    sub-network interleave order are not reproducible from the reference
+    (R's print order); ours is documented: (alone ASC, bn DESC, id ASC)
+    within a batch.
+
+    Spark-first shape: instead of a per-batch driver loop, EVERY batch's
+    induced subgraph is scored in one shot — vertices get composite ids
+    ``batch·(max_id+1) + id``, one connected-components pass labels all
+    sub-networks of all batches simultaneously, and one
+    ``applyInPandas`` kernel scores them all in parallel.
+
+    Returns the re-sequenced ``(id, arrived, seq, batch, bottleneck)``
+    rows for arrived nodes; ``seq`` is the new global stream position
+    (batch-major). Rows with ``arrived = 0`` are not returned (their seq
+    is never consumed downstream).
+    """
+    from ..graph.centrality import bottleneck_centrality
+    from ..graph.edges import assign_dense_ids
+
+    ranked = assign_dense_ids(
+        arrivals.filter(F.col("arrived") == 1).select("id", "seq"),
+        ["seq", "id"],
+        id_col="_rank",
+    ).withColumn(
+        "batch",
+        ((F.col("_rank") - F.col("_rank") % batch_size) / batch_size).cast("long"),
+    )
+    ranked = materialize(ranked)
+    off = int(ranked.agg(F.max("id")).first()[0] or 0) + 1
+
+    bsrc = ranked.select(F.col("id").alias("src"), F.col("batch").alias("_bs"))
+    bdst = ranked.select(F.col("id").alias("dst"), F.col("batch").alias("_bd"))
+    batch_edges = (
+        edges.select("src", "dst")
+        .join(bsrc, "src")
+        .join(bdst, "dst")
+        .filter(F.col("_bs") == F.col("_bd"))
+        .select(
+            (F.col("_bs") * off + F.col("src")).alias("src"),
+            (F.col("_bs") * off + F.col("dst")).alias("dst"),
+        )
+    )
+    bn = bottleneck_centrality(batch_edges, max_component=max_component).select(
+        (F.col("id") % off).alias("id"),
+        ((F.col("id") - F.col("id") % off) / off).cast("long").alias("batch"),
+        "bottleneck",
+    )
+    scored = ranked.join(bn, ["id", "batch"], "left").select(
+        "id",
+        "batch",
+        F.col("bottleneck").isNull().alias("_alone"),
+        F.coalesce("bottleneck", F.lit(0)).alias("bottleneck"),
+    )
+    w = Window.partitionBy("batch").orderBy(
+        F.col("_alone").asc(), F.col("bottleneck").desc(), F.col("id").asc()
+    )
+    return scored.select(
+        "id",
+        F.lit(1).alias("arrived"),
+        (F.col("batch") * batch_size + F.row_number().over(w) - 1).alias("seq"),
+        "batch",
+        "bottleneck",
+    )
