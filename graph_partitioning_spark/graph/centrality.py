@@ -130,7 +130,7 @@ def _bottleneck_kernel(max_component: int):
 
 
 def bottleneck_centrality(
-    edges: DataFrame, max_component: int = 200_000
+    edges: DataFrame, max_component: int = 200_000, group_col: str | None = None
 ) -> DataFrame:
     """(id, bottleneck) — BN centrality (Przulj et al. 2004; the measure
     behind the reference's ``bottleneck.r`` / centiserve::bottleneck,
@@ -145,28 +145,39 @@ def bottleneck_centrality(
     that count it shift every score in a ≥2-node component by exactly +1,
     so orderings — the reference's only use — are unaffected.
 
-    Plan: one distributed connected-components pass labels the (possibly
-    many, e.g. per-batch composite) subgraphs, then ONE
-    ``groupBy(component).applyInPandas`` scores all components in
-    parallel, Arrow-batched. Nodes absent from ``edges`` (isolated) score
-    0 by definition and are simply not returned — callers coalesce.
+    Plan: the subgraphs are scored by ONE
+    ``groupBy(...).applyInPandas`` kernel, Arrow-batched, all groups in
+    parallel. The group key is ``group_col`` when the caller already knows
+    a bounded partitioning of the graph (e.g. the arrival batch — the BFS
+    never leaves a root's component, so a group may hold several
+    components and scores are unchanged); otherwise one distributed
+    connected-components pass labels the components first. Nodes absent
+    from ``edges`` (isolated) score 0 by definition and are simply not
+    returned — callers coalesce. ``max_component`` bounds the *group*
+    size fed to the O(n·m) kernel.
     """
-    from .components import connected_components
-
     canon = (
         edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            *([F.col(group_col)] if group_col else []),
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    comps, _ = connected_components(canon)
-    labeled = canon.join(
-        comps.withColumnRenamed("id", "src").withColumnRenamed("component", "_c"),
-        "src",
-    )
+    if group_col is None:
+        from .components import connected_components
+
+        comps, _ = connected_components(canon)
+        labeled = canon.join(
+            comps.withColumnRenamed("id", "src").withColumnRenamed("component", "_c"),
+            "src",
+        )
+        group_col = "_c"
+    else:
+        labeled = canon
     return (
-        labeled.groupBy("_c")
+        labeled.groupBy(group_col)
         .applyInPandas(_bottleneck_kernel(max_component), "id long, bottleneck long")
         .select("id", "bottleneck")
     )

@@ -426,11 +426,17 @@ def bottleneck_arrival_order(
         .join(bdst, "dst")
         .filter(F.col("_bs") == F.col("_bd"))
         .select(
+            F.col("_bs").alias("_g"),
             (F.col("_bs") * off + F.col("src")).alias("src"),
             (F.col("_bs") * off + F.col("dst")).alias("dst"),
         )
     )
-    bn = bottleneck_centrality(batch_edges, max_component=max_component).select(
+    # batches are a known bounded partitioning, so the kernel groups by
+    # batch directly — no connected-components pass needed (the BFS never
+    # leaves a component, so multi-component batches score identically)
+    bn = bottleneck_centrality(
+        batch_edges, max_component=max_component, group_col="_g"
+    ).select(
         (F.col("id") % off).alias("id"),
         ((F.col("id") - F.col("id") % off) / off).cast("long").alias("batch"),
         "bottleneck",
