@@ -70,23 +70,7 @@ def exact_duplicates(
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow-scan/wide-work stage across every core.
-
-    The shingle/token explode multiplies each document row ~10^3× and the
-    per-shingle hashing is the dominant cost, but Spark sizes the stage by
-    the *scan*: a corpus that arrives as one small file runs the whole
-    explosion on one task (measured at sf0.1: 18.9 s → 2.6 s for
-    minhash_signatures once spread). Repartition up to defaultParallelism
-    ONLY when the scan has fewer partitions — at production scale the scan
-    already has ≥ cores splits and the (corpus-sized) shuffle this would
-    cost is skipped entirely. Safe for every consumer here: all downstream
-    results are groupBy aggregates, so row placement never changes values.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ._util import fan_out as _fan_out  # shared: see _util.fan_out
 
 
 def _shingles(text_col: str, k: int):

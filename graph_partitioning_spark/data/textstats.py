@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import fan_out
+
 # small multilingual stopword inventory for the language-id heuristic;
 # deliberately tiny + deterministic (a real pipeline plugs in fastText)
 STOPWORDS = {
@@ -148,7 +150,8 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.sequence(F.lit(1), n - 4), lambda i: F.md5(norm.substr(i, F.lit(5)).cast("binary"))
         ),
     ).otherwise(F.array(F.md5(norm.cast("binary"))))
-    return documents.select(
+    # ~n_chars md5s per row inside the transform — fan out a narrow scan
+    return fan_out(documents).select(
         "doc_id",
         F.md5(F.col(text_col).cast("binary")).alias("fp_md5"),
         F.md5(norm.cast("binary")).alias("fp_norm_md5"),
