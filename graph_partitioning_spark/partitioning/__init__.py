@@ -8,6 +8,11 @@ from .fennel import (  # noqa: F401
     modular_initial,
 )
 from .harness import best_of  # noqa: F401
+from .hypergraph import (  # noqa: F401
+    hyperedge_weights,
+    maximal_cliques,
+    patoh_arrays,
+)
 from .metrics import (  # noqa: F401
     community_quality,
     cut_metrics,

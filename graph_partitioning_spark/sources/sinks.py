@@ -17,6 +17,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_assignments(assignments: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -54,3 +55,59 @@ def write_run_manifest(path: str, manifest: dict) -> None:
 def read_run_manifest(path: str) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+def write_oslom_edges(edges: DataFrame, path: str) -> None:
+    """S10: tab-delimited ``src\\tdst\\tweight`` edge list for the OSLOM
+    binary (reference ``utils.py:825-829``).
+
+    The external tool reads exactly one plain-text file, so the rows are
+    coalesced to a single ordered part — an explicit driver-side funnel
+    that is part of the handoff contract, not of any distributed plan (at
+    scale you hand a *partitioned* text directory to a distributed
+    community detector instead; this writer exists for binary parity).
+    Rows are ordered (src, dst) so the file is byte-deterministic; weights
+    are formatted as Python ``str(float)`` like the reference's
+    ``"{}".format(weight)``.
+    """
+    lines = edges.orderBy("src", "dst").select(
+        F.concat_ws(
+            "\t",
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            F.col("weight").cast("double").cast("string"),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_coordinates(spark: SparkSession, path: str) -> DataFrame:
+    """S6: ``x,y`` CSV where LINE NUMBER is the node id (reference
+    ``utils.py:1450-1472`` — the coordinates feed keyed by position).
+
+    Line order is the only key the format has, so the read preserves it
+    explicitly: single-file text read → ``zipWithIndex`` (one of the two
+    sanctioned RDD uses in this engine — the other is CSR block export —
+    because row-position semantics genuinely cannot be expressed
+    declaratively). Returns ``(id long, x double, y double)``; malformed
+    lines are skipped like the reference's ``len(xy) == 2`` guard.
+    """
+    rdd = (
+        spark.sparkContext.textFile(path, minPartitions=1)
+        .map(lambda s: s.strip())
+        .zipWithIndex()
+    )
+
+    def parse(pair):
+        line, i = pair
+        xy = line.split(",")
+        if len(xy) != 2:
+            return []
+        try:
+            return [(int(i), float(xy[0]), float(xy[1]))]
+        except ValueError:
+            return []
+
+    return spark.createDataFrame(
+        rdd.flatMap(parse), "id long, x double, y double"
+    )

@@ -136,3 +136,32 @@ def test_read_gml_hash_inside_quoted_label(spark, tmp_path):
     assert v[1] == "plain"
     e = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
     assert e == {(0, 1): 2.0}
+
+
+def test_write_oslom_edges(tmp_path, spark):
+    """S10: single tab-delimited file, (src, dst) ordered, float weights
+    (reference utils.py:825-829 format)."""
+    import glob
+
+    from graph_partitioning_spark.sources.sinks import write_oslom_edges
+
+    df = spark.createDataFrame(
+        [(2, 10, 1.0), (0, 1, 2.5), (0, 3, 1.0)], "src long, dst long, weight double"
+    )
+    out = str(tmp_path / "oslom")
+    write_oslom_edges(df, out)
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) == 1  # the external binary reads exactly one file
+    lines = open(parts[0]).read().splitlines()
+    assert lines == ["0\t1\t2.5", "0\t3\t1.0", "2\t10\t1.0"]
+
+
+def test_read_coordinates_line_number_is_id(tmp_path, spark):
+    """S6: x,y CSV keyed by line position (reference utils.py:1450-1472);
+    malformed lines skipped like the len(xy)==2 guard."""
+    from graph_partitioning_spark.sources.sinks import read_coordinates
+
+    p = tmp_path / "COORDINATES.csv"
+    p.write_text("1.5,2.25\nbad line\n-3.0,4.0\n7,8\n")
+    rows = {r["id"]: (r["x"], r["y"]) for r in read_coordinates(spark, str(p)).collect()}
+    assert rows == {0: (1.5, 2.25), 2: (-3.0, 4.0), 3: (7.0, 8.0)}
