@@ -1391,6 +1391,35 @@ def q_leverage_centrality(spark, sf_dir):
 BN_BATCH = 100  # arrival batch size for the bottleneck-reorder gate query
 
 
+def q_clique_nets(spark, sf_dir):
+    """J3 clique/hyperedge nets, SQL-checkable slice: on the bipartite
+    odd↔even co-purchase subgraph every edge is a maximal clique (a common
+    neighbor would need a same-parity edge), so DuckDB can enumerate the
+    nets exactly while the Spark side runs the real Bron–Kerbosch kernel +
+    the JVM weight-expansion arithmetic (total_node_weight over part-keyed
+    node weights). The general recursion is nx-parity pytest-verified."""
+    from graph_partitioning_spark.partitioning import (
+        hyperedge_weights,
+        maximal_cliques,
+    )
+
+    e = copurchase_edges(spark, sf_dir).filter(
+        (F.col("src") + F.col("dst")) % 2 == 1
+    )
+    verts = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") % 4) + 2).cast("double").alias("weight"),
+    )
+    hw = hyperedge_weights(
+        maximal_cliques(e.select("src", "dst")), verts, "total_node_weight"
+    )
+    return hw.select(
+        F.element_at("members", 1).alias("src"),
+        F.element_at("members", 2).alias("dst"),
+        F.col("hyperedge_weight").cast("long").alias("hyperedge_weight"),
+    )
+
+
 def q_bottleneck_order(spark, sf_dir):
     """F11 bottleneck node reordering (reference utils.py:1285-1354 +
     bottleneck.r): every arrival batch re-sequenced by in-engine BN
@@ -1500,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "leverage_centrality": q_leverage_centrality,
         "bottleneck_order": q_bottleneck_order,
+        "clique_nets": q_clique_nets,
         "orders_running_total": q_orders_running_total,
         "parts_never_ordered": q_parts_never_ordered,
         "events_zscore": q_events_zscore,
@@ -2117,6 +2147,12 @@ SELECT s.src AS id,
        ROUND(AVG((di.k - dj.k) * 1.0 / (di.k + dj.k)), 6) AS leverage
 FROM sym s JOIN deg di ON di.id = s.src JOIN deg dj ON dj.id = s.dst
 GROUP BY s.src""",
+        "clique_nets": f"""WITH {EDGES_CTE},
+bip AS (SELECT src, dst FROM edges WHERE (src + dst) % 2 = 1),
+w AS (SELECT p_partkey AS id, CAST((p_partkey % 4) + 2 AS DOUBLE) AS wt FROM part)
+SELECT b.src, b.dst,
+       CAST(GREATEST(ROUND(ws.wt + wd.wt), 1) AS BIGINT) AS hyperedge_weight
+FROM bip b JOIN w ws ON ws.id = b.src JOIN w wd ON wd.id = b.dst""",
         "bottleneck_order": f"""WITH RECURSIVE {EDGES_CTE},
 ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rnk FROM verts),
 bnodes AS (SELECT id, CAST(rnk // {BN_BATCH} AS BIGINT) AS batch FROM ranked),
