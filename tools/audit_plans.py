@@ -129,6 +129,32 @@ def main() -> None:
         )
     print("[audit] cosine_near_dup: equi-join only, no all-pairs product — OK")
 
+    # bottleneck arrival reorder (r3): the only windows allowed are
+    # per-batch partitioned ones — a partition-less window would funnel the
+    # whole arrival stream through one task
+    from graph_partitioning_spark.partitioning.arrival import (
+        bottleneck_arrival_order,
+    )
+
+    bn_edges = spark.range(0, 5_000).select(
+        F.col("id").alias("src"), ((F.col("id") * 13 + 1) % 5_000).alias("dst")
+    ).withColumn("weight", F.lit(1.0))
+    bn_arr = spark.range(0, 5_000).select(
+        "id", F.lit(1).alias("arrived"), F.col("id").alias("seq")
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        bottleneck_arrival_order(bn_edges, bn_arr, 500).explain("formatted")
+    plan_txt = buf.getvalue()
+    n_single = plan_txt.count("SinglePartition")
+    # assign_dense_ids contributes zero; the k-scalar offsets join is a
+    # broadcast. Any SinglePartition here means a global window snuck in.
+    assert n_single == 0, (
+        f"bottleneck_arrival_order plan has {n_single} SinglePartition "
+        "exchange(s) — a global window/sort snuck in:\n" + plan_txt
+    )
+    print("[audit] bottleneck reorder: no SinglePartition exchange — OK")
+
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
