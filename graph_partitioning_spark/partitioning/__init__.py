@@ -13,6 +13,7 @@ from .hypergraph import (  # noqa: F401
     maximal_cliques,
     patoh_arrays,
 )
+from .predict import predict_arrival_weights  # noqa: F401
 from .metrics import (  # noqa: F401
     community_quality,
     cut_metrics,
