@@ -1,7 +1,9 @@
 from .edges import (  # noqa: F401
     assign_dense_ids,
+    build_graph,
     build_vertex_dictionary,
     extract_edges,
+    extract_links,
     degrees,
     out_degrees,
     undirect,

@@ -54,34 +54,53 @@ def assign_dense_ids(
     return out
 
 
-def build_vertex_dictionary(pages: DataFrame) -> DataFrame:
+def extract_links(pages: DataFrame) -> DataFrame:
+    """``links(src_url, dst_url)`` — the ONE Arrow parse over the corpus.
+
+    At the 100 TB north star the HTML parse is the single most expensive
+    scan in the system, so it must run exactly once: persist this frame and
+    derive BOTH the vertex dictionary's target side and the weighted edge
+    table from it (``build_graph`` wires that up). Duplicate links kept —
+    the multiplicity becomes the edge weight downstream.
+    """
+    return pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_links_udf("html")).alias("dst_url"),
+    )
+
+
+def build_vertex_dictionary(
+    pages: DataFrame, links: DataFrame | None = None
+) -> DataFrame:
     """urls (page urls ∪ link targets) → dense vertex ids.
 
     Returns ``vertices(id long, url string)``. Link-target urls that have no
     crawled page still get vertices (dangling nodes), matching the usual
-    web-graph convention.
+    web-graph convention. Pass the persisted ``extract_links(pages)`` frame
+    as ``links`` to avoid re-parsing the HTML here.
     """
+    if links is None:
+        links = extract_links(pages)
     page_urls = pages.select("url")
-    target_urls = (
-        pages.select(F.explode(extract_links_udf("html")).alias("url")).distinct()
-    )
+    target_urls = links.select(F.col("dst_url").alias("url")).distinct()
     all_urls = page_urls.union(target_urls).distinct()
     return assign_dense_ids(all_urls, "url").select("id", "url")
 
 
-def extract_edges(pages: DataFrame, vertices: DataFrame) -> DataFrame:
+def extract_edges(
+    pages: DataFrame, vertices: DataFrame, links: DataFrame | None = None
+) -> DataFrame:
     """Hyperlink edge table ``(src long, dst long, weight double)``.
 
     weight = number of times the (src_url → dst_url) link occurs on the page.
     Self-loops are dropped. Two equi-joins against the vertex dictionary; at
     scale the dictionary is the smaller side but not broadcastable, so both
     joins shuffle on url — Catalyst/AQE handles skew (many pages → few hub
-    target urls) via skew-join splitting.
+    target urls) via skew-join splitting. Pass the persisted
+    ``extract_links(pages)`` frame as ``links`` to avoid re-parsing the HTML.
     """
-    links = pages.select(
-        F.col("url").alias("src_url"),
-        F.explode(extract_links_udf("html")).alias("dst_url"),
-    )
+    if links is None:
+        links = extract_links(pages)
     weighted = links.groupBy("src_url", "dst_url").agg(
         F.count("*").cast("double").alias("weight")
     )
@@ -93,6 +112,29 @@ def extract_edges(pages: DataFrame, vertices: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", "weight")
     )
+
+
+def build_graph(
+    pages: DataFrame, storage_level=None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Single-parse ingest: ``(links, vertices, edges)`` with the Arrow HTML
+    parse executed exactly once.
+
+    ``links`` is persisted (MEMORY_AND_DISK unless ``storage_level`` says
+    otherwise) because both downstream frames consume it; the caller owns
+    the unpersist once ``vertices``/``edges`` are materialized. This is the
+    ingest entry point the north-star pipeline should use — calling
+    ``build_vertex_dictionary`` + ``extract_edges`` without a shared
+    ``links`` frame pays the corpus parse twice.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if storage_level is None:
+        storage_level = StorageLevel.MEMORY_AND_DISK
+    links = extract_links(pages).persist(storage_level)
+    vertices = build_vertex_dictionary(pages, links=links)
+    edges = extract_edges(pages, vertices, links=links)
+    return links, vertices, edges
 
 
 def undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from graph_partitioning_spark.functions.extraction import extract_links_py
 from graph_partitioning_spark.graph.edges import (
     assign_dense_ids,
+    build_graph,
     build_vertex_dictionary,
     degrees,
     extract_edges,
@@ -45,6 +46,33 @@ def test_edge_extraction_matches_python_ground_truth(spark):
                 expected[(s, d)] = expected.get((s, d), 0) + 1
     got = {(r.src, r.dst): r.weight for r in edges.collect()}
     assert got == {k: float(v) for k, v in expected.items()}
+
+
+def test_build_graph_single_parse_parity(spark):
+    """The single-parse ingest (build_graph: one persisted links frame feeding
+    both the dictionary and the edge table) must produce exactly the frames
+    the two-parse legacy path produces."""
+    pages = generate_pages(spark, n_pages=300).cache()
+    links, verts, edges = build_graph(pages)
+    try:
+        legacy_verts = build_vertex_dictionary(pages)
+        legacy_edges = extract_edges(pages, legacy_verts)
+        assert {(r.id, r.url) for r in verts.collect()} == {
+            (r.id, r.url) for r in legacy_verts.collect()
+        }
+        assert {(r.src, r.dst, r.weight) for r in edges.collect()} == {
+            (r.src, r.dst, r.weight) for r in legacy_edges.collect()
+        }
+        # links is the raw parse: one row per href occurrence, duplicates kept
+        rows = pages.select("url", "html").collect()
+        expected_links = []
+        for r in rows:
+            for target in extract_links_py(bytes(r.html)):
+                expected_links.append((r.url, target))
+        got_links = [(r.src_url, r.dst_url) for r in links.collect()]
+        assert sorted(got_links) == sorted(expected_links)
+    finally:
+        links.unpersist()
 
 
 def test_undirect_and_degrees(spark):

@@ -41,6 +41,7 @@ def main() -> None:
     from graph_partitioning_spark.graph import (
         build_vertex_dictionary,
         extract_edges,
+        extract_links,
         pagerank,
     )
     from graph_partitioning_spark.graph.edges import undirect
@@ -55,19 +56,30 @@ def main() -> None:
     out["rows_pages"] = pages.count()
     out["t_pages_synth"] = round(time.time() - t0, 1)
 
+    # single-parse ingest: the Arrow HTML parse runs exactly once (into the
+    # persisted links frame); dictionary and edge table both derive from it
     t0 = time.time()
-    verts = build_vertex_dictionary(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    links = extract_links(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    out["rows_links"] = links.count()
+    out["t_extract_links"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    verts = build_vertex_dictionary(pages, links=links).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out["rows_vertices"] = verts.count()
     out["t_vertex_dict"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    edges = extract_edges(pages, verts).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = extract_edges(pages, verts, links=links).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out["rows_edges_directed"] = edges.count()
     out["t_extract_edges"] = round(time.time() - t0, 1)
     pages.unpersist()
-    out["pages_per_sec_extract"] = round(
-        n_pages / (out["t_vertex_dict"] + out["t_extract_edges"]), 1
-    )
+    links.unpersist()
+    t_ingest = out["t_extract_links"] + out["t_vertex_dict"] + out["t_extract_edges"]
+    out["pages_per_sec_extract"] = round(n_pages / t_ingest, 1)
 
     t0 = time.time()
     und = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
