@@ -8,6 +8,7 @@ functions; Python appears only in the Arrow-batched multimodal UDFs.
 """
 
 from .dedup import (  # noqa: F401
+    dedup_clusters,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,

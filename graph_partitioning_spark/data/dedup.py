@@ -334,3 +334,46 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH pairs → connected components →
+    canonical keep-list. The pipeline step users actually run: every
+    document gets a ``keep_id`` (the minimum doc id of its near-duplicate
+    cluster; itself when it has no candidates) and a ``keep`` flag (1 iff
+    it IS the canonical copy).
+
+    Composition of already-scale-shaped pieces: the candidate graph is the
+    banded ``lsh_candidate_pairs`` equi-join (never a cross join), the
+    clustering is the large-star/small-star ``connected_components`` pass
+    (O(log n) rounds, no driver state), and the keep-list is one left
+    join back to the corpus. ``pairs``: optional precomputed candidate
+    pairs (a, b) — pass them when the pipeline already materialized them.
+    """
+    from ..graph.components import connected_components
+
+    if pairs is None:
+        pairs = lsh_candidate_pairs(
+            documents, num_hashes, bands, k, text_col, id_col, signatures
+        )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp, _ = connected_components(edges)
+    docs = documents.select(F.col(id_col).alias("doc_id"))
+    keep_id = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            keep_id.alias("keep_id"),
+            (keep_id == F.col("doc_id")).cast("int").alias("keep"),
+        )
+    )

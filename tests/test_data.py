@@ -300,3 +300,35 @@ def test_cosine_near_dup_bucket_cap(spark):
     assert len(full) >= 30 * 29 // 2  # the clone cluster all pairs up
     assert capped <= full
     assert len(capped) < len(full)  # the hot bucket actually got dropped
+
+
+def test_dedup_clusters_keep_list(spark, docs):
+    """LSH pairs → CC → keep-list: docs 0/1 (exact dups, identical
+    signatures) land in one cluster whose canonical copy is min id 0;
+    transitive closure pulls in any near-dup that collides with either;
+    every doc appears exactly once; singletons keep themselves."""
+    from graph_partitioning_spark.data import dedup_clusters, lsh_candidate_pairs
+
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs).collect()}
+    assert set(rows) == {d for d, _ in DOCS}  # total keep-list
+
+    # python oracle: union-find over the actual LSH candidate pairs
+    pairs = [(r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()]
+    parent = {d: d for d, _ in DOCS}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d, _ in DOCS}
+    for d, _ in DOCS:
+        assert rows[d]["keep_id"] == want[d]
+        assert rows[d]["keep"] == int(want[d] == d)
+    assert rows[1]["keep_id"] == 0 and rows[1]["keep"] == 0
+    assert rows[0]["keep"] == 1
