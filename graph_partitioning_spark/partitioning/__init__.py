@@ -6,6 +6,7 @@ from .fennel import (  # noqa: F401
     fennel_partition,
     foaf_reassign,
     modular_initial,
+    place_singletons,
 )
 from .harness import best_of  # noqa: F401
 from .hypergraph import (  # noqa: F401

@@ -111,6 +111,12 @@ class FennelConfig:
     # partition unless inflow is bounded (measured: waste 6.25 at
     # micro_batches=1 on the 195M-edge graph without the cap).
     inflow_cap_slack: float | None = None
+    # singleton placement collects (id, w) rows to replay the reference's
+    # sequential min-fill heap exactly; above this row count the collect
+    # would OOM the driver (an adversarial crawl snapshot can hold 10^8
+    # isolated vertices), so ``place_singletons`` switches to the
+    # distributed merged-stream greedy instead of collecting
+    singleton_collect_max: int = 1_000_000
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -701,26 +707,17 @@ def _fennel_partition_impl(
 
         # singleton placement (degree-0, still unassigned): the reference
         # re-finds the min-size partition after *each* placement
-        # (fennel.pyx:142-148). Sizes are k scalars, so the greedy min-fill is
-        # simulated exactly on the driver with a heap over (size, partition) —
-        # ties break to the smallest partition id, matching
-        # ``parts.index(min(parts))``. Singletons are consumed in ascending-id
-        # order (our canonical stream order). The collect is bounded by the
-        # degree-0 node count — at web scale isolated vertices are filtered at
-        # extraction (P7), so this set is small by construction.
+        # (fennel.pyx:142-148) — see ``place_singletons``. The driver-heap
+        # replay is hard-capped at config.singleton_collect_max rows; above
+        # it the distributed merged-stream greedy takes over (an adversarial
+        # crawl snapshot can hold 10^8 isolated vertices even though P7
+        # filters them at extraction in the normal pipeline).
         lonely = state.filter(F.col("partition") < 0)
-        if lonely.limit(1).count() > 0:
-            import heapq
-
-            rows = lonely.select("id", F.col("w").alias("_w")).orderBy("id").collect()
-            heap = [(sizes[p], p) for p in range(k)]
-            heapq.heapify(heap)
-            placements = []
-            for r in rows:
-                s, p = heapq.heappop(heap)
-                placements.append((int(r["id"]), p))
-                heapq.heappush(heap, (s + float(r["_w"]), p))
-            placed_df = spark.createDataFrame(placements, "id long, _np int")
+        n_lonely = lonely.count()
+        if n_lonely > 0:
+            placed_df = place_singletons(
+                lonely, sizes, k, config.singleton_collect_max, count=n_lonely
+            )
             state = materialize(
                 state.join(placed_df, "id", "left").select(
                     "id",
@@ -753,6 +750,145 @@ def _fennel_partition_impl(
     }
     release(sym)
     return result, info
+
+
+def _singleton_placements_heap(
+    rows, sizes: list[float], k: int
+) -> list[tuple[int, int]]:
+    """The reference's sequential greedy min-fill, replayed exactly.
+
+    After every placement the min-size partition is re-found
+    (/root/reference/graph_partitioning/partitioners/fennel/fennel.pyx:142-148);
+    sizes are k scalars so a heap over (size, partition) simulates it —
+    ties break to the smallest partition id, matching
+    ``parts.index(min(parts))``. ``rows``: (id, _w) in stream (id) order.
+    """
+    import heapq
+
+    heap = [(sizes[p], p) for p in range(k)]
+    heapq.heapify(heap)
+    placements = []
+    for r in rows:
+        s, p = heapq.heappop(heap)
+        placements.append((int(r["id"]), p))
+        heapq.heappush(heap, (s + float(r["_w"]), p))
+    return placements
+
+
+def place_singletons(
+    lonely: DataFrame,
+    sizes: list[float],
+    k: int,
+    max_collect: int = 1_000_000,
+    count: int | None = None,
+) -> DataFrame:
+    """Place degree-0 unassigned nodes; returns ``(id, _np)`` placements.
+
+    Up to ``max_collect`` rows the driver-heap replay runs (exact reference
+    parity, ``_singleton_placements_heap``); above it the rows are NOT
+    collected — ``_place_singletons_distributed`` takes over, so an
+    adversarial input with 10^8 isolated vertices degrades to a distributed
+    plan instead of an driver OOM. ``lonely`` needs (id, w) columns.
+    """
+    spark = lonely.sparkSession
+    t = count if count is not None else lonely.count()
+    if t <= max_collect:
+        rows = lonely.select("id", F.col("w").alias("_w")).orderBy("id").collect()
+        return spark.createDataFrame(
+            _singleton_placements_heap(rows, list(sizes), k), "id long, _np int"
+        )
+    return _place_singletons_distributed(lonely, sizes, k, t)
+
+
+def _place_singletons_distributed(
+    lonely: DataFrame, sizes: list[float], k: int, t: int
+) -> DataFrame:
+    """Distributed greedy min-fill — no driver collect, no global window.
+
+    Equal-weight case (the common one; node weights default to 1): the heap
+    greedy is the merge of k arithmetic streams v(p, j) = sizes[p] + j·w
+    ordered lexicographically by (v, p), so the singleton at stream rank r
+    goes to the partition of the (r+1)-th smallest stream element. That
+    element is found without materializing k·t candidates: a driver-side
+    bisection over the closed-form counting function bounds the t-th
+    smallest value, each stream generates only its candidates below the
+    bound (≤ t + 2k rows total, chunk-exploded so no single task
+    materializes a giant sequence), then one range-partitioned rank
+    (``assign_dense_ids`` — never a SinglePartition sort) plus an equi-join
+    on rank places every node. Bit-parity with the heap holds whenever
+    sizes[p] + j·w multiplication equals the heap's repeated addition
+    (integer-valued sizes/weights — the parity pytest pins it); with
+    arbitrary floats the result is still deterministic and greedy under
+    the multiplicative form.
+
+    Mixed-weight case: the sequential greedy consumes each node's own
+    weight in stream order and cannot be replayed in parallel; nodes go
+    round-robin (stream rank mod k) over partitions ordered by
+    (size, partition) — identical to the heap when weights are equal and
+    balanced within one max-weight otherwise.
+    """
+    import math
+
+    from ..graph.edges import assign_dense_ids
+
+    spark = lonely.sparkSession
+    singles = assign_dense_ids(lonely.select("id"), "id", id_col="_rank")
+    wmin, wmax = lonely.agg(F.min("w"), F.max("w")).first()
+    if wmin == wmax and float(wmin) > 0:
+        w = float(wmin)
+
+        def count_le(v: float) -> int:
+            return sum(int(math.floor((v - s) / w)) + 1 for s in sizes if v >= s)
+
+        # hi ≥ the t-th smallest value: count_le(hi) ≥ Σ max(0,(hi−s)/w)
+        # ≥ (k·hi − Σ sizes)/w ≥ t at hi = (Σ sizes + w·t)/k, then bisect
+        # down to within one step so over-generation stays ≤ ~2k rows
+        lo, hi = min(sizes), (sum(sizes) + w * t) / k + 2.0 * w
+        for _ in range(200):
+            if hi - lo <= w:
+                break
+            mid = lo + (hi - lo) / 2.0
+            if count_le(mid) >= t:
+                hi = mid
+            else:
+                lo = mid
+        jub = [int(math.floor((hi - s) / w)) + 1 if hi >= s else 0 for s in sizes]
+        chunk = 1 << 20
+        base = spark.createDataFrame(
+            [(p, float(sizes[p]), int(jub[p])) for p in range(k) if jub[p] > 0],
+            "p int, s double, jn long",
+        )
+        starts = base.select(
+            "p",
+            "s",
+            "jn",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("jn") - 1, F.lit(chunk))
+            ).alias("j0"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        cand = starts.select(
+            "p",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.col("j0"), F.least(F.col("j0") + (chunk - 1), F.col("jn") - 1)
+                )
+            ).alias("j"),
+        ).select(
+            "p", (F.col("s") + F.col("j").cast("double") * F.lit(w)).alias("v")
+        )
+        picks = assign_dense_ids(cand, ["v", "p"], id_col="_rank").filter(
+            F.col("_rank") < t
+        )
+        return singles.join(
+            picks.select("_rank", F.col("p").cast("int").alias("_np")), "_rank"
+        ).select("id", "_np")
+    order = sorted(range(k), key=lambda p: (sizes[p], p))
+    arr = F.array(*[F.lit(p) for p in order])
+    return singles.select(
+        "id",
+        F.element_at(arr, (F.col("_rank") % k).cast("int") + 1).alias("_np"),
+    )
 
 
 def modular_initial(ids: DataFrame, num_partitions: int, seed: int = 0) -> DataFrame:

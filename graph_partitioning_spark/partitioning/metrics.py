@@ -705,20 +705,32 @@ def partition_community_quality(
         intra.unpersist()
 
 
-def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
+def nmi(
+    labels_a: DataFrame, labels_b: DataFrame, max_cells: int = 1_000_000
+) -> float:
     """Normalized mutual information between two labelings ``(id, label)``.
 
     Contingency table via groupBy (k_a × k_b rows collected to the driver —
-    tiny), entropy arithmetic matching sklearn's arithmetic-mean NMI used at
+    tiny for partition labelings), entropy arithmetic matching sklearn's
+    arithmetic-mean NMI used at
     /root/reference/graph_partitioning/graph_partitioning.py:322-339. Pairs
     where either label < 0 are excluded (reference filters unassigned).
+    ``max_cells`` hard-caps the collect: two community-scale labelings
+    (LPA output × LPA output) can produce O(communities²) cells, which
+    would OOM the driver — above the cap this raises instead.
     """
     joined = (
         labels_a.select("id", F.col("label").alias("la"))
         .join(labels_b.select("id", F.col("label").alias("lb")), "id")
         .filter((F.col("la") >= 0) & (F.col("lb") >= 0))
     )
-    cont = joined.groupBy("la", "lb").agg(F.count("*").alias("c")).collect()
+    cont = joined.groupBy("la", "lb").agg(F.count("*").alias("c")).take(max_cells + 1)
+    if len(cont) > max_cells:
+        raise ValueError(
+            f"nmi: contingency table exceeds max_cells={max_cells} — the "
+            "inputs look community-scale, not partition-scale; aggregate "
+            "labels first or raise max_cells only if the driver can hold it"
+        )
     n = sum(r["c"] for r in cont)
     if n == 0:
         return 0.0
@@ -741,7 +753,10 @@ def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
 
 
 def fscore(
-    predicted: DataFrame, actual: DataFrame, relabel: bool = True
+    predicted: DataFrame,
+    actual: DataFrame,
+    relabel: bool = True,
+    max_cells: int = 1_000_000,
 ) -> dict[str, float]:
     """Weighted F1 of predicted vs actual labels, plus the improvement from
     the best label permutation (Hungarian on the k×k confusion matrix).
@@ -750,14 +765,24 @@ def fscore(
     — weighted-average per-class F1, then ``linear_sum_assignment`` on
     (1 − pairwise-F1) to find the best relabeling. k is small, so the
     assignment problem runs on the driver (pure-NumPy Hungarian below; no
-    scipy dependency).
+    scipy dependency). ``max_cells`` hard-caps the contingency collect —
+    community-scale labelings would otherwise build an O(communities²)
+    driver table; above the cap this raises instead of OOMing.
     """
     joined = (
         predicted.select("id", F.col("label").alias("pred"))
         .join(actual.select("id", F.col("label").alias("act")), "id")
         .filter((F.col("pred") >= 0) & (F.col("act") >= 0))
     )
-    cont = joined.groupBy("pred", "act").agg(F.count("*").alias("c")).collect()
+    cont = (
+        joined.groupBy("pred", "act").agg(F.count("*").alias("c")).take(max_cells + 1)
+    )
+    if len(cont) > max_cells:
+        raise ValueError(
+            f"fscore: contingency table exceeds max_cells={max_cells} — the "
+            "inputs look community-scale, not partition-scale; aggregate "
+            "labels first or raise max_cells only if the driver can hold it"
+        )
     if not cont:
         return {"fscore": 0.0, "fscore_relabelled": 0.0, "improvement": 0.0}
     import numpy as np

@@ -364,3 +364,59 @@ def test_ldg_over_capacity_prefers_least_loaded(spark):
     got = {r["id"]: r["partition"] for r in result.collect()}
     assert got[6] == 1, "over-capacity prev must not pin the node under LDG"
     assert all(got[i] == 0 for i in range(6))
+
+
+def test_place_singletons_distributed_matches_heap(spark):
+    """The distributed merged-stream greedy (forced with max_collect=0) is
+    node-for-node identical to the driver-heap replay on integer-valued
+    sizes and unit weights — skewed initial sizes included, so the leveling
+    prefix (all early picks draining into the smallest partition) and the
+    steady-state cycle are both covered."""
+    from graph_partitioning_spark.partitioning import place_singletons
+
+    ids = [5, 9, 12, 40, 41, 42, 77] + list(range(100, 140))
+    lonely = spark.createDataFrame([(i, 1.0) for i in ids], "id long, w double")
+    for sizes in ([3.0, 1.0, 2.0, 1.0], [10.0, 0.0, 0.0, 7.0], [0.0] * 4):
+        heap = {
+            r["id"]: r["_np"]
+            for r in place_singletons(lonely, sizes, 4, max_collect=10**6).collect()
+        }
+        dist = {
+            r["id"]: r["_np"]
+            for r in place_singletons(lonely, sizes, 4, max_collect=0).collect()
+        }
+        assert dist == heap, f"sizes={sizes}"
+
+
+def test_place_singletons_distributed_mixed_weights_round_robin(spark):
+    """Mixed weights above the cap: round-robin by stream rank over
+    partitions ordered by (size, partition) — deterministic, total, and
+    balanced in count."""
+    from graph_partitioning_spark.partitioning import place_singletons
+
+    rows = [(i, 1.0 + (i % 3)) for i in range(20)]
+    lonely = spark.createDataFrame(rows, "id long, w double")
+    sizes = [5.0, 1.0, 3.0]
+    got = {
+        r["id"]: r["_np"]
+        for r in place_singletons(lonely, sizes, 3, max_collect=0).collect()
+    }
+    order = [1, 2, 0]  # ascending (size, p)
+    assert got == {i: order[i % 3] for i in range(20)}
+
+
+def test_fennel_singleton_cap_same_result(spark):
+    """fennel_partition with singleton_collect_max=0 (every singleton takes
+    the distributed path) produces the exact same assignment as the default
+    heap path on a graph with isolated vertices."""
+    src, dst, w = random_edges(30, 80, seed=51)
+    edges = _edges_df(spark, src, dst, w)
+    iso = [1000 + i for i in range(9)]
+    ids = sorted({int(v) for v in np.concatenate([src, dst])}) + iso
+    vertices = spark.createDataFrame([(v, 1.0) for v in ids], "id long, weight double")
+    base_cfg = dict(num_partitions=4, num_iterations=2, micro_batches=2)
+    a, _ = fennel_partition(edges, FennelConfig(**base_cfg), vertices=vertices)
+    b, _ = fennel_partition(
+        edges, FennelConfig(**base_cfg, singleton_collect_max=0), vertices=vertices
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

@@ -259,3 +259,20 @@ def test_wavg_permanence_two_cliques(spark):
     a_df = spark.createDataFrame(assign, "id long, partition int")
     got = M.wavg_permanence(edges, a_df, 2, lpa_iterations=4)
     assert got == pytest.approx(1.0, abs=1e-9)
+
+
+def test_nmi_fscore_contingency_cap_fires(spark):
+    """Community-scale labelings (here: every node its own label) exceed
+    max_cells and must raise instead of collecting O(communities²) rows."""
+    from graph_partitioning_spark.partitioning.metrics import fscore, nmi
+
+    la = spark.createDataFrame([(i, i) for i in range(50)], "id long, label long")
+    lb = spark.createDataFrame(
+        [(i, i * 7 % 50) for i in range(50)], "id long, label long"
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        nmi(la, lb, max_cells=10)
+    with pytest.raises(ValueError, match="max_cells"):
+        fscore(la, lb, max_cells=10)
+    # and the same inputs pass with an adequate cap
+    assert 0.0 <= nmi(la, lb, max_cells=10**6) <= 1.0
