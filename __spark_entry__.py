@@ -1306,6 +1306,120 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, top_k=5)
 
 
+def q_ann_kmeans(spark, sf_dir):
+    """IVF top-k with the LEARNED coarse quantizer: deterministic k-means||
+    (hash-determinized sampling, truncated-integer-mean Lloyd updates) fits
+    centroid buckets on the corpus, both sides probe their nearest-centroid
+    bucket. The DuckDB twin replays the entire quantizer — init rounds,
+    candidate weighting, top-k reduction, Lloyd iterations — in chained
+    CTEs over the fixed-point integer domain, so the match is exact."""
+    from graph_partitioning_spark.data import ann_kmeans_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 8), top_k=5, k_clusters=8
+    )
+
+
+def _ann_kmeans_oracle(
+    k: int = 8,
+    l: int = 16,
+    seed: int = 1,
+    init_rounds: int = 2,
+    lloyd_iters: int = 3,
+    top_k: int = 5,
+) -> str:
+    """DuckDB replay of ``kmeans_quantizer`` + bucketed top-k, unrolled.
+
+    Works in the same floor(x·1000+0.5) integer domain as the Spark side,
+    so distances and truncated means (`//`) are engine-independent; the
+    sampling uniform is the md5-prefix arithmetic both engines share."""
+    parts = [
+        """WITH pts AS (
+  SELECT id, pos, CAST(FLOOR(CAST(val AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS val FROM embeddings) raw
+),
+cand0 AS (SELECT (SELECT MIN(vec_id) FROM embeddings) AS cid)"""
+    ]
+    for r in range(1, init_rounds + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT id, MIN(d2) AS d2 FROM (
+    SELECT a.id AS id, c.cid, SUM((a.v - b.v) * (a.v - b.v)) AS d2
+    FROM pts a CROSS JOIN cand{r - 1} c JOIN pts b ON b.id = c.cid AND b.pos = a.pos
+    GROUP BY a.id, c.cid) dd GROUP BY id
+),
+tot{r} AS (SELECT SUM(d2) AS t FROM d{r}),
+sel{r} AS (
+  SELECT id FROM d{r}, tot{r}
+  WHERE t > 0
+    AND ('0x' || substr(md5(CAST(id AS VARCHAR) || ':{seed}:{r}'), 1, 8))::BIGINT
+        / 4294967296.0 < CAST({l} * d2 AS DOUBLE) / CAST(t AS DOUBLE)
+),
+cand{r} AS (SELECT cid FROM cand{r - 1} UNION SELECT id AS cid FROM sel{r})""")
+    parts.append(f""",
+nearw AS (
+  SELECT id, cid FROM (
+    SELECT a.id AS id, c.cid AS cid,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY SUM((a.v - b.v) * (a.v - b.v)), c.cid) AS rn
+    FROM pts a CROSS JOIN cand{init_rounds} c
+    JOIN pts b ON b.id = c.cid AND b.pos = a.pos
+    GROUP BY a.id, c.cid) z WHERE rn = 1
+),
+cent0 AS (
+  SELECT t.k AS cid, b.pos, b.v
+  FROM (SELECT cid AS src, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, cid) - 1 AS k
+        FROM nearw GROUP BY cid ORDER BY COUNT(*) DESC, cid LIMIT {k}) t
+  JOIN pts b ON b.id = t.src
+)""")
+    for t in range(1, lloyd_iters + 1):
+        parts.append(f""",
+a{t} AS (
+  SELECT id, cid FROM (
+    SELECT a.id AS id, c.cid AS cid,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY SUM((a.v - c.v) * (a.v - c.v)), c.cid) AS rn
+    FROM pts a JOIN cent{t - 1} c ON c.pos = a.pos
+    GROUP BY a.id, c.cid) z WHERE rn = 1
+),
+cent{t} AS (
+  SELECT o.cid, o.pos, COALESCE(u.v, o.v) AS v
+  FROM cent{t - 1} o LEFT JOIN (
+    SELECT x.cid, p2.pos, CAST(SUM(p2.v) // COUNT(*) AS BIGINT) AS v
+    FROM a{t} x JOIN pts p2 ON p2.id = x.id
+    GROUP BY x.cid, p2.pos) u ON u.cid = o.cid AND u.pos = o.pos
+)""")
+    parts.append(f""",
+bkt AS (
+  SELECT id, cid FROM (
+    SELECT a.id AS id, c.cid AS cid,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY SUM((a.v - c.v) * (a.v - c.v)), c.cid) AS rn
+    FROM pts a JOIN cent{lloyd_iters} c ON c.pos = a.pos
+    GROUP BY a.id, c.cid) z WHERE rn = 1
+),
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+q AS (SELECT e.vec_id AS query_id, b.cid, e.v AS qv
+      FROM emb e JOIN bkt b ON b.id = e.vec_id WHERE e.vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM q JOIN bkt cb ON cb.cid = q.cid JOIN emb c ON c.vec_id = cb.id
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) z
+WHERE rank <= {top_k}""")
+    return "".join(parts)
+
+
 def q_ann_bucketed(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -1545,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_bucketed": q_ann_bucketed,
+        "ann_kmeans": q_ann_kmeans,
         "cosine_near_dup": q_cosine_near_dup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -2179,6 +2294,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5""",
+        "ann_kmeans": _ann_kmeans_oracle(),
         "events_hourly": """SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",

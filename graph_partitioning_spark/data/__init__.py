@@ -16,11 +16,13 @@ from .dedup import (  # noqa: F401
     simhash,
 )
 from .similarity import (  # noqa: F401
+    ann_kmeans_topk,
     brute_force_topk,
     bucketed_topk,
     cosine_near_dup_pairs,
     hyperplane_signature,
     hyperplane_values,
+    kmeans_quantizer,
 )
 from .textstats import (  # noqa: F401
     fingerprint,

@@ -116,6 +116,197 @@ def bucketed_topk(
     )
 
 
+KMEANS_SCALE = 1000
+
+
+def _scaled_ints(vec_col):
+    """array<long> fixed-point view of a float vector: floor(x·1000 + 0.5).
+
+    The quantizer fits entirely in this integer domain so every distance,
+    sum, and mean is order-independent and exactly replayable by a non-Spark
+    SQL engine (the DuckDB gate) — float reductions would drift across
+    engines and Lloyd iterations amplify a one-ulp drift into a different
+    clustering. floor(x·1000+0.5) rather than round() because the two
+    engines disagree on round-half semantics while floor is exact IEEE.
+    """
+    return F.transform(
+        _as_double(vec_col), lambda x: F.floor(x * 1000.0 + 0.5).cast("long")
+    )
+
+
+def _hash_uniform(id_col, seed: int, r: int):
+    """Deterministic pseudo-uniform in [0,1) from (id, seed, round) — the
+    same md5-prefix arithmetic the MinHash oracle replays in DuckDB."""
+    s = F.concat_ws(":", id_col.cast("string"), F.lit(str(seed)), F.lit(str(r)))
+    base = F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    return base / F.lit(4294967296.0)
+
+
+def _nearest(cents: list[tuple[int, list[int]]], xi):
+    """struct(d2, cid) of the nearest centroid — a pure JVM expression.
+
+    The k centroids are literal integer arrays, so bucket assignment over
+    the corpus is ONE codegen'd columnar pass: no join, no shuffle, no
+    Python. Ties break to the smallest cid ((d2, cid) struct min), matching
+    the oracle's ``ROW_NUMBER() OVER (ORDER BY d2, cid)``.
+    """
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    xi,
+                    F.array(*[F.lit(int(c)).cast("long") for c in coords]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, coords in cents
+    ]
+    return F.array_min(F.array(*structs))
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (SQL ``//`` semantics; Python's
+    ``//`` floors, which disagrees for negative sums)."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def kmeans_quantizer(
+    embeddings: DataFrame,
+    k: int = 8,
+    lloyd_iters: int = 3,
+    init_rounds: int = 2,
+    oversample: int | None = None,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Deterministic k-means|| coarse quantizer; returns [(cid, centroid)]
+    with centroids in the fixed-point integer domain (``_scaled_ints``).
+
+    k-means|| (Bahmani et al., VLDB'12) with hash-determinized sampling:
+    start from the min-id vector, then for ``init_rounds`` rounds select
+    each point with probability min(1, l·d²/Σd²) — the coin flip replaced
+    by the md5 uniform ``_hash_uniform(id, seed, round)`` so the sample is
+    a pure function of the data. Candidates are weighted by the number of
+    points nearest to them and reduced to k by (weight desc, id asc); then
+    ``lloyd_iters`` Lloyd refinements with truncated-integer-mean updates
+    (empty clusters keep their previous centroid).
+
+    Scale shape: every step is one corpus scan — distances against ≤1+r·l
+    literal candidate arrays are codegen'd JVM expressions, the update is a
+    k-group aggregation with map-side combine — and the driver holds only
+    the k×dims integer centroids plus the expected (1 + init_rounds·l)
+    sampled candidates, both bounded by construction (the sampler's
+    selection probabilities sum to l per round). Per-dim int64 sums
+    overflow only past ~10^15 unit-norm rows. Exactly replayable in
+    portable SQL: the ann_kmeans DuckDB oracle re-runs init + Lloyd
+    end-to-end and must match bit-for-bit.
+    """
+    l = oversample if oversample is not None else 2 * k
+    pts = embeddings.select(
+        F.col(id_col).alias("id"), _scaled_ints(F.col(vec_col)).alias("xi")
+    ).persist()
+    try:
+        first = pts.orderBy("id").limit(1).collect()[0]
+        cands = {int(first["id"]): [int(v) for v in first["xi"]]}
+        for r in range(1, init_rounds + 1):
+            near = _nearest(sorted(cands.items()), F.col("xi"))
+            scored = pts.select("id", "xi", near.getField("d2").alias("d2"))
+            tot = scored.agg(
+                F.sum(F.col("d2").cast("decimal(38,0)")).alias("t")
+            ).first()["t"]
+            tot = float(tot or 0)
+            if tot <= 0:  # degenerate corpus (all points identical)
+                break
+            sel = (
+                scored.filter(
+                    _hash_uniform(F.col("id"), seed, r)
+                    < (F.lit(float(l)) * F.col("d2").cast("double")) / F.lit(tot)
+                )
+                .select("id", "xi")
+                .collect()
+            )
+            for row in sel:
+                cands[int(row["id"])] = [int(v) for v in row["xi"]]
+        near = _nearest(sorted(cands.items()), F.col("xi"))
+        wrows = (
+            pts.select(near.getField("cid").alias("cid"))
+            .groupBy("cid")
+            .agg(F.count("*").alias("w"))
+            .collect()
+        )
+        ranked = sorted(
+            ((int(r["w"]), int(r["cid"])) for r in wrows), key=lambda t: (-t[0], t[1])
+        )[:k]
+        cents = [(i, cands[cid]) for i, (_, cid) in enumerate(ranked)]
+        dims = len(first["xi"])
+        for _ in range(lloyd_iters):
+            near = _nearest(cents, F.col("xi"))
+            agg = (
+                pts.select(near.getField("cid").alias("cid"), "xi")
+                .groupBy("cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(dims)],
+                )
+                .collect()
+            )
+            got = {
+                int(r["cid"]): [
+                    _tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dims)
+                ]
+                for r in agg
+            }
+            cents = [(cid, got.get(cid, old)) for cid, old in cents]
+    finally:
+        pts.unpersist()
+    return cents
+
+
+def ann_kmeans_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    k_clusters: int = 8,
+    lloyd_iters: int = 3,
+    init_rounds: int = 2,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer (vs ``bucketed_topk``'s
+    pre-existing label column, which a real pipeline doesn't have).
+
+    Fits ``kmeans_quantizer`` on the corpus, assigns both sides their
+    nearest-centroid bucket with one codegen'd expression (no join), and
+    probes exactly like ``bucketed_topk`` — exact within the probed bucket;
+    recall is the quantizer-quality IVF trade (pinned by a recall@k pytest
+    on clustered data).
+    """
+    cents = kmeans_quantizer(
+        embeddings,
+        k=k_clusters,
+        lloyd_iters=lloyd_iters,
+        init_rounds=init_rounds,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    bucket = _nearest(cents, _scaled_ints(F.col(vec_col))).getField("cid")
+    return bucketed_topk(
+        embeddings.withColumn("_kb", bucket),
+        queries.withColumn("_kb", bucket),
+        top_k=top_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col="_kb",
+    )
+
+
 def hyperplane_values(bits: int, dims: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH.
 
