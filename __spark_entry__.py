@@ -949,7 +949,47 @@ def q_arrival_sim(spark, sf_dir):
     )
 
 
-def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
+def q_arrival_sliding(spark, sf_dir):
+    """The sliding-window arrival variant (graph_partitioning.py:500-501):
+    after each batch only the FIRST arrival is frozen, so the next batch's
+    window is its own arrivals plus a one-node-per-batch frozen prefix.
+    The DuckDB twin extends the per-batch pipeline replay with the window
+    membership rule, the accumulating assignment merge, and window-
+    normalized waste/alpha."""
+    from graph_partitioning_spark.partitioning import ArrivalConfig, simulate_arrivals
+
+    e = copurchase_edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n = verts.count()
+    batch_size = -(-n // ARRIVAL_BATCHES)
+    arrivals = verts.select(
+        "id", F.lit(1).alias("arrived"), F.col("id").alias("seq")
+    )
+    cfg = ArrivalConfig(
+        num_partitions=K_PARTS,
+        restream_batches=batch_size,
+        num_iterations=ARRIVAL_ITERS,
+        micro_batches=ARRIVAL_BUCKETS,
+        bucket_by="mod",
+        sliding_window=True,
+    )
+    final, metrics, info = simulate_arrivals(e, arrivals, cfg)
+    return metrics.select(
+        "batch",
+        F.round("waste", 6).alias("waste"),
+        F.col("edges_cut").cast("long").alias("edges_cut"),
+        F.round("cut_ratio", 6).alias("cut_ratio"),
+        F.col("tcv").cast("long").alias("tcv"),
+        F.col("m_sub").cast("long").alias("m_sub"),
+        F.col("n_fixed").cast("long").alias("n_fixed"),
+    )
+
+
+def _arrival_cte(
+    batches: int, iters: int, buckets: int, k: int, sliding: bool = False
+) -> str:
     """Chained-CTE replay of ``simulate_arrivals`` under the gate config:
     per batch — arrived-subgraph semi-join (P1), per-batch alpha, the
     bounded FENNEL restream with previously-arrived nodes fixed (same CTE
@@ -957,6 +997,14 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
     min-fill singleton placement as a recursive-CTE fold over the isolated
     batch nodes (exact heap semantics: smallest size then smallest id), the
     merge, and the 7-column metric row. Emits ``abm`` (batch metric rows).
+
+    ``sliding`` replays the sliding-window rule
+    (graph_partitioning.py:500-501): after each batch only its FIRST
+    arrival is frozen, so batch b's window is its own arrivals plus the
+    frozen prefix {rank = j·bsz : j < b}; the assignment table still
+    accumulates across batches (the merge is a full outer join), waste is
+    scored over the accumulated table normalized by the window size, and
+    alpha's denominator is the window size.
     """
     parts = [
         "arv AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM verts)",
@@ -975,12 +1023,26 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
         pre = f"ab{b}"
         lo = f"(SELECT LEAST({b} * bsz, n) FROM abn)"
         hi = f"(SELECT LEAST({b + 1} * bsz, n) FROM abn)"
-        parts.append(
-            f"""{pre}_sub AS MATERIALIZED (
+        if sliding:
+            parts.append(
+                f"""{pre}_mem AS MATERIALIZED (
+  SELECT a.id, a.rk FROM arv a, abn
+  WHERE (a.rk >= {lo} AND a.rk < {hi})
+     OR (a.rk < {lo} AND a.rk % abn.bsz = 0))"""
+            )
+            parts.append(
+                f"""{pre}_sub AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight
+  FROM edges e JOIN {pre}_mem a1 ON a1.id = e.src
+  JOIN {pre}_mem a2 ON a2.id = e.dst)"""
+            )
+        else:
+            parts.append(
+                f"""{pre}_sub AS MATERIALIZED (
   SELECT e.src, e.dst, e.weight
   FROM edges e JOIN arv a1 ON a1.id = e.src JOIN arv a2 ON a2.id = e.dst
   WHERE a1.rk < {hi} AND a2.rk < {hi})"""
-        )
+            )
         parts.append(
             f"""{pre}_sym AS MATERIALIZED (
   SELECT src, dst, weight FROM {pre}_sub
@@ -990,11 +1052,15 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
         parts.append(
             f"{pre}_mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM {pre}_sub)"
         )
-        # alpha = m_sub*k/(n_fixed+batch_n)^2 with n_fixed+batch_n = hi
+        # alpha = m_sub*k/(n_fixed+batch_n)^2; the denominator is the
+        # window size (= hi when not sliding)
+        dn = (
+            f"GREATEST((SELECT COUNT(*) FROM {pre}_mem), 1)" if sliding else hi
+        )
         parts.append(
             f"""{pre}_al AS MATERIALIZED (
   SELECT CAST((SELECT m FROM {pre}_mm) * {k} AS DOUBLE)
-       / CAST({hi} * {hi} AS DOUBLE) AS a)"""
+       / CAST({dn} * {dn} AS DOUBLE) AS a)"""
         )
         prev_final = f"ab{b - 1}_final" if b else None
         init_p = (
@@ -1003,14 +1069,16 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
         prev_join = (
             f"LEFT JOIN {prev_final} pf ON pf.id = a.id" if prev_final else ""
         )
+        s0_src = f"{pre}_mem a {prev_join}" if sliding else (
+            f"arv a {prev_join}\n  WHERE a.rk < {hi}"
+        )
         parts.append(
             f"""{pre}_s0 AS MATERIALIZED (
   SELECT a.id, CAST({init_p} AS INT) AS p,
          a.rk < {lo} AS fixed,
          CAST(a.id % {buckets} AS INT) AS bucket,
          EXISTS (SELECT 1 FROM {pre}_sym e WHERE e.src = a.id) AS has_edge
-  FROM arv a {prev_join}
-  WHERE a.rk < {hi})"""
+  FROM {s0_src})"""
         )
         step = 0
         for _ in range(iters):
@@ -1096,10 +1164,22 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
   FROM {pre}_sing s JOIN {pre}_fold f ON f.rn = s.rn - 1)"""
         )
         parts.append(
-            f"""{pre}_final AS MATERIALIZED (
+            f"""{pre}_bf AS MATERIALIZED (
   SELECT st.id, CAST(COALESCE(pl.p, st.p) AS INT) AS p
   FROM {last} st LEFT JOIN {pre}_placed pl ON pl.id = st.id)"""
         )
+        if sliding and prev_final:
+            # the assignment table accumulates: window nodes take their new
+            # partition, everything previously seen keeps its old one
+            parts.append(
+                f"""{pre}_final AS MATERIALIZED (
+  SELECT COALESCE(nw.id, o.id) AS id, CAST(COALESCE(nw.p, o.p) AS INT) AS p
+  FROM {pre}_bf nw FULL JOIN {prev_final} o ON o.id = nw.id)"""
+            )
+        else:
+            parts.append(
+                f"{pre}_final AS MATERIALIZED (SELECT id, p FROM {pre}_bf)"
+            )
         # metric row
         parts.append(
             f"""{pre}_lab AS MATERIALIZED (
@@ -1120,13 +1200,19 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
       SELECT dst AS id, p_src AS fp FROM {pre}_cut
     ) GROUP BY id))"""
         )
+        wn = f"(SELECT COUNT(*) FROM {pre}_mem)" if sliding else hi
         parts.append(
             f"""{pre}_bal AS (
-  SELECT MAX(COALESCE(z.sz, 0) * 1.0 / {hi}) AS mx,
-         SUM(COALESCE(z.sz, 0) * 1.0 / {hi}) AS tot
+  SELECT MAX(COALESCE(z.sz, 0) * 1.0 / {wn}) AS mx,
+         SUM(COALESCE(z.sz, 0) * 1.0 / {wn}) AS tot
   FROM (SELECT unnest(range({k})) AS pp) q
   LEFT JOIN (SELECT p, COUNT(*) AS sz FROM {pre}_final WHERE p >= 0 GROUP BY p) z
     ON z.p = q.pp)"""
+        )
+        nf = (
+            f"(SELECT COUNT(*) FROM arv, abn WHERE rk < {lo} AND rk % abn.bsz = 0)"
+            if sliding
+            else lo
         )
         rows.append(
             f"""SELECT {b} AS batch,
@@ -1137,7 +1223,7 @@ def _arrival_cte(batches: int, iters: int, buckets: int, k: int) -> str:
              ELSE 0.0 END, 6) AS cut_ratio,
        (SELECT v FROM {pre}_tcv) AS tcv,
        (SELECT m FROM {pre}_mm)::BIGINT AS m_sub,
-       {lo}::BIGINT AS n_fixed"""
+       {nf}::BIGINT AS n_fixed"""
         )
     parts.append(
         "abm AS (" + "\nUNION ALL\n".join(rows) + ")"
@@ -1639,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_nets": q_clique_nets,
         # -- arrival pipeline --
         "arrival_sim": q_arrival_sim,
+        "arrival_sliding": q_arrival_sliding,
         # -- partition-quality metrics --
         "cut_quality": q_cut_quality,
         "rbse": q_rbse,
@@ -1865,6 +1952,9 @@ LEFT JOIN a_best ab ON ab.id = a.id
 LEFT JOIN b_best b ON b.id = a.id""",
         "arrival_sim": f"""WITH RECURSIVE {EDGES_CTE},
 {_arrival_cte(ARRIVAL_BATCHES, ARRIVAL_ITERS, ARRIVAL_BUCKETS, K_PARTS)}
+SELECT batch, waste, edges_cut, cut_ratio, tcv, m_sub, n_fixed FROM abm""",
+        "arrival_sliding": f"""WITH RECURSIVE {EDGES_CTE},
+{_arrival_cte(ARRIVAL_BATCHES, ARRIVAL_ITERS, ARRIVAL_BUCKETS, K_PARTS, sliding=True)}
 SELECT batch, waste, edges_cut, cut_ratio, tcv, m_sub, n_fixed FROM abm""",
         "nmi": f"""WITH {EDGES_CTE},
 {_lpa_cte(4)},
