@@ -457,6 +457,7 @@ def _fennel_partition_impl(
     _debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG"))
     it = start_iter
     changed_last = -1
+    changed_history: list[int] = []
     sizes, _ = _stats(state)
     # Micro-batch supersteps are many tiny bounded queries; per-stage AQE
     # re-planning and wide shuffles cost more than they save at that shape
@@ -702,6 +703,16 @@ def _fennel_partition_impl(
                     },
                 )
             changed_last = changed_this_iter
+            changed_history.append(changed_this_iter)
+            # observability hook (extra={"on_pass": fn}): fn(iteration,
+            # assignments_df, {"changed", "sizes"}) after every restream
+            # pass — the convergence bench records per-pass cut/waste
+            # without re-running the whole partition per pass count. The
+            # state frame is materialized (localCheckpoint), safe to query.
+            on_pass = config.extra.get("on_pass")
+            if on_pass is not None:
+                on_pass(it, state.select("id", "partition"),
+                        {"changed": changed_this_iter, "sizes": list(sizes)})
             if config.converge_early and changed_this_iter == 0:
                 break
 
@@ -744,6 +755,7 @@ def _fennel_partition_impl(
         "alpha": alpha,
         "capacity": capacity,
         "changed_last_iteration": changed_last,
+        "changed_per_iteration": changed_history,
         "counters": counters.to_dict(),
         "n_vertices": n,
         "n_edges": m,
