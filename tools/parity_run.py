@@ -127,11 +127,24 @@ def run_engine(spark, cfg, n, node_w, edges, arr):
         "src long, dst long, weight double",
     )
     k = cfg["k"]
+    # the engine's documented web-scale prediction defaults (BENCH.md round
+    # 3): modular_initial seed (no cold-start herding) + bounded inflow
+    # (no synchronous oscillation); micro=32 on these 10^3-node corpora so
+    # each bucket decides ~n/32 nodes — the closest batch-synchronous
+    # approximation of the reference's after-every-node size updates
+    from graph_partitioning_spark.partitioning import modular_initial
+
+    # the inflow cap is per-pass damping (movement ≤ slack·W/k per step):
+    # right for multi-pass refinement, wrong for a single-pass config where
+    # it would pin most nodes at the seed — disable it at iters=1
+    slack = 0.1 if cfg["iters"] > 1 else None
     pred, _ = fennel_partition(
         edges_df,
         FennelConfig(num_partitions=k, num_iterations=cfg["iters"],
-                     micro_batches=8, bucket_by="mod"),
+                     micro_batches=32, bucket_by="mod",
+                     inflow_cap_slack=slack),
         vertices=verts,
+        initial=modular_initial(spark.range(n), k),
     )
     pred = pred.cache()
     adj = build_adj(n, edges)
@@ -220,10 +233,18 @@ def main():
         "The engine runs once (it is deterministic: mod bucket schedule).",
         "",
         "Engine config mirror: k, restream iterations, cut-off fraction and",
-        "batch size from each notebook config; micro_batches=8 (the engine's",
-        "batch-synchronous relaxation of the reference's per-node stream —",
-        "finer buckets mean fresher sizes between decisions, closer to the",
-        "reference's after-every-node updates).",
+        "batch size from each notebook config. The prediction stage runs in",
+        "the engine's documented web-scale defaults (BENCH.md round 3):",
+        "`modular_initial` seed + `inflow_cap_slack=0.1`, micro_batches=32 on",
+        "these 10^3-node corpora — the engine is batch-synchronous, so finer",
+        "buckets plus the bounded-inflow damping are its principled stand-in",
+        "for the reference's after-every-node size updates (a cold-start",
+        "1-pass synchronous restream herds by construction; that failure and",
+        "both fixes are measured in BENCH.md round 3). The cap is per-pass",
+        "damping (movement ≤ slack·W/k per step), so single-pass notebook",
+        "configs (iters=1) run undamped — one damped pass would pin most",
+        "nodes at the seed. Per-batch arrival restreams run micro_batches=8",
+        "anchored on the frozen set.",
         "Sliding-window mode is excluded: the reference reprocesses a rolling",
         "window per arrival, the engine re-shapes it into fixed batch ranges",
         "(documented divergence, gated separately as `arrival_sliding`).",
