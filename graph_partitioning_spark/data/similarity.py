@@ -275,6 +275,7 @@ def ann_kmeans_topk(
     lloyd_iters: int = 3,
     init_rounds: int = 2,
     seed: int = 1,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -283,9 +284,15 @@ def ann_kmeans_topk(
 
     Fits ``kmeans_quantizer`` on the corpus, assigns both sides their
     nearest-centroid bucket with one codegen'd expression (no join), and
-    probes exactly like ``bucketed_topk`` — exact within the probed bucket;
-    recall is the quantizer-quality IVF trade (pinned by a recall@k pytest
-    on clustered data).
+    probes exactly like ``bucketed_topk`` — exact within the probed
+    buckets; recall is the quantizer-quality IVF trade (pinned by a
+    recall@k pytest on clustered data).
+
+    ``nprobe``: the standard IVF recall knob — each query probes its
+    ``nprobe`` nearest centroid buckets (the query frame fans out nprobe×,
+    the corpus side is untouched, so candidate work scales linearly with
+    nprobe and per-neighbor duplicates can't arise: every corpus row lives
+    in exactly one bucket).
     """
     cents = kmeans_quantizer(
         embeddings,
@@ -296,10 +303,39 @@ def ann_kmeans_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
-    bucket = _nearest(cents, _scaled_ints(F.col(vec_col))).getField("cid")
+    corpus_bucket = _nearest(cents, _scaled_ints(F.col(vec_col))).getField("cid")
+    emb = embeddings.withColumn("_kb", corpus_bucket)
+    if nprobe <= 1:
+        qs = queries.withColumn("_kb", corpus_bucket)
+    else:
+        # full (d2, cid) array sorted ascending, sliced to nprobe buckets
+        xi = _scaled_ints(F.col(vec_col))
+        arr = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                xi,
+                                F.array(*[F.lit(int(c)).cast("long") for c in coords]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("d2"),
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                    )
+                    for cid, coords in cents
+                ]
+            )
+        )
+        probes = F.transform(
+            F.slice(arr, 1, min(nprobe, len(cents))), lambda s: s.getField("cid")
+        )
+        qs = queries.withColumn("_kb", F.explode(probes))
     return bucketed_topk(
-        embeddings.withColumn("_kb", bucket),
-        queries.withColumn("_kb", bucket),
+        emb,
+        qs,
         top_k=top_k,
         id_col=id_col,
         vec_col=vec_col,

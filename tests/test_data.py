@@ -364,3 +364,16 @@ def test_ann_kmeans_recall_and_determinism(spark):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.9, f"recall@5 {recall} below pinned floor"
+
+    # nprobe: probing more buckets can only widen each query's candidate
+    # set, so recall is monotone in nprobe and hits 1.0 at nprobe=k
+    ap2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_kmeans_topk(emb, queries, top_k=5, k_clusters=8, nprobe=2).collect()
+    }
+    ap_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_kmeans_topk(emb, queries, top_k=5, k_clusters=8, nprobe=8).collect()
+    }
+    assert len(ex & ap2) >= len(ex & ap)
+    assert ap_all == ex, "nprobe=k must reduce to exact brute force"

@@ -134,18 +134,23 @@ def run_engine(spark, cfg, n, node_w, edges, arr):
     # approximation of the reference's after-every-node size updates
     from graph_partitioning_spark.partitioning import modular_initial
 
-    # the inflow cap is per-pass damping (movement ≤ slack·W/k per step):
-    # right for multi-pass refinement, wrong for a single-pass config where
-    # it would pin most nodes at the seed — disable it at iters=1
-    slack = 0.1 if cfg["iters"] > 1 else None
-    pred, _ = fennel_partition(
-        edges_df,
-        FennelConfig(num_partitions=k, num_iterations=cfg["iters"],
-                     micro_batches=32, bucket_by="mod",
-                     inflow_cap_slack=slack),
-        vertices=verts,
-        initial=modular_initial(spark.range(n), k),
-    )
+    if cfg["iters"] > 1:
+        # multi-pass refinement: the engine's documented web-scale defaults
+        # (modular seed, bounded inflow) — restream-as-refinement
+        fc = FennelConfig(num_partitions=k, num_iterations=cfg["iters"],
+                          micro_batches=32, bucket_by="mod",
+                          inflow_cap_slack=0.1)
+        initial = modular_initial(spark.range(n), k)
+    else:
+        # single-pass configs: the reference streams every node exactly once
+        # from UNMAPPED, so the faithful mirror is the same cold stream with
+        # the finest buckets; a random seed would inject votes the reference
+        # never sees, and the inflow cap (per-pass damping) would pin most
+        # nodes at that seed
+        fc = FennelConfig(num_partitions=k, num_iterations=1,
+                          micro_batches=64, bucket_by="mod")
+        initial = None
+    pred, _ = fennel_partition(edges_df, fc, vertices=verts, initial=initial)
     pred = pred.cache()
     adj = build_adj(n, edges)
     passign = {r["id"]: r["partition"] for r in pred.collect()}
@@ -233,18 +238,19 @@ def main():
         "The engine runs once (it is deterministic: mod bucket schedule).",
         "",
         "Engine config mirror: k, restream iterations, cut-off fraction and",
-        "batch size from each notebook config. The prediction stage runs in",
-        "the engine's documented web-scale defaults (BENCH.md round 3):",
-        "`modular_initial` seed + `inflow_cap_slack=0.1`, micro_batches=32 on",
-        "these 10^3-node corpora — the engine is batch-synchronous, so finer",
-        "buckets plus the bounded-inflow damping are its principled stand-in",
-        "for the reference's after-every-node size updates (a cold-start",
-        "1-pass synchronous restream herds by construction; that failure and",
-        "both fixes are measured in BENCH.md round 3). The cap is per-pass",
-        "damping (movement ≤ slack·W/k per step), so single-pass notebook",
-        "configs (iters=1) run undamped — one damped pass would pin most",
-        "nodes at the seed. Per-batch arrival restreams run micro_batches=8",
-        "anchored on the frozen set.",
+        "batch size from each notebook config. The engine is",
+        "batch-synchronous, so its knobs are matched to each workload's shape",
+        "(both regimes are the engine's documented configurations, BENCH.md",
+        "round 3): multi-pass prediction configs (iters=10) run the web-scale",
+        "defaults — `modular_initial` seed + `inflow_cap_slack=0.1`,",
+        "micro_batches=32 on these 10^3-node corpora — because a cold",
+        "synchronous start herds and undamped synchronous passes oscillate;",
+        "single-pass configs (iters=1) run the faithful mirror of the",
+        "reference's one cold sequential sweep — UNMAPPED start (a random",
+        "seed would inject votes the reference never sees), micro_batches=64,",
+        "no cap (per-pass damping would pin most nodes at the seed).",
+        "Per-batch arrival restreams run micro_batches=8 anchored on the",
+        "frozen set.",
         "Sliding-window mode is excluded: the reference reprocesses a rolling",
         "window per arrival, the engine re-shapes it into fixed batch ranges",
         "(documented divergence, gated separately as `arrival_sliding`).",
