@@ -4,6 +4,7 @@ from .edges import (  # noqa: F401
     build_vertex_dictionary,
     extract_edges,
     extract_links,
+    weight_links,
     degrees,
     out_degrees,
     undirect,

@@ -58,14 +58,32 @@ def extract_links(pages: DataFrame) -> DataFrame:
     """``links(src_url, dst_url)`` — the ONE Arrow parse over the corpus.
 
     At the 100 TB north star the HTML parse is the single most expensive
-    scan in the system, so it must run exactly once: persist this frame and
-    derive BOTH the vertex dictionary's target side and the weighted edge
-    table from it (``build_graph`` wires that up). Duplicate links kept —
-    the multiplicity becomes the edge weight downstream.
+    scan in the system, so it must run exactly once. Don't persist this raw
+    frame — aggregate it first (``weight_links``) and persist that; the
+    parse then fuses with the map-side combine and only the small pair
+    table is materialized (``build_graph`` wires that up). Duplicate links
+    kept — the multiplicity becomes the edge weight downstream.
     """
     return pages.select(
         F.col("url").alias("src_url"),
         F.explode(extract_links_udf("html")).alias("dst_url"),
+    )
+
+
+def weight_links(links: DataFrame) -> DataFrame:
+    """``weighted(src_url, dst_url, weight)`` — per-page link multiplicity.
+
+    This is the frame worth persisting in the single-parse ingest: the
+    groupBy's map-side partial aggregation runs fused with the Arrow parse
+    in one codegen stage (no raw-link materialization), and what hits the
+    shuffle/cache is the *deduplicated* pair table — typically 2-5x smaller
+    than the raw href stream on boilerplate-heavy crawl data. Caching the
+    raw exploded links instead (the first r4 attempt) was measurably slower
+    than re-parsing: serializing ~100M small string rows to storage cost
+    more than the parse it saved.
+    """
+    return links.groupBy("src_url", "dst_url").agg(
+        F.count("*").cast("double").alias("weight")
     )
 
 
@@ -76,8 +94,9 @@ def build_vertex_dictionary(
 
     Returns ``vertices(id long, url string)``. Link-target urls that have no
     crawled page still get vertices (dangling nodes), matching the usual
-    web-graph convention. Pass the persisted ``extract_links(pages)`` frame
-    as ``links`` to avoid re-parsing the HTML here.
+    web-graph convention. Pass the persisted ``weight_links(...)`` (or raw
+    ``extract_links(...)``) frame as ``links`` to avoid re-parsing the HTML
+    here — only the ``dst_url`` column is read, so either shape works.
     """
     if links is None:
         links = extract_links(pages)
@@ -88,7 +107,10 @@ def build_vertex_dictionary(
 
 
 def extract_edges(
-    pages: DataFrame, vertices: DataFrame, links: DataFrame | None = None
+    pages: DataFrame,
+    vertices: DataFrame,
+    links: DataFrame | None = None,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """Hyperlink edge table ``(src long, dst long, weight double)``.
 
@@ -97,13 +119,13 @@ def extract_edges(
     scale the dictionary is the smaller side but not broadcastable, so both
     joins shuffle on url — Catalyst/AQE handles skew (many pages → few hub
     target urls) via skew-join splitting. Pass the persisted
-    ``extract_links(pages)`` frame as ``links`` to avoid re-parsing the HTML.
+    ``weight_links(...)`` frame as ``weighted`` to avoid re-parsing the HTML
+    (preferred), or a raw ``extract_links(...)`` frame as ``links``.
     """
-    if links is None:
-        links = extract_links(pages)
-    weighted = links.groupBy("src_url", "dst_url").agg(
-        F.count("*").cast("double").alias("weight")
-    )
+    if weighted is None:
+        if links is None:
+            links = extract_links(pages)
+        weighted = weight_links(links)
     src_v = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
     dst_v = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
     return (
@@ -117,24 +139,27 @@ def extract_edges(
 def build_graph(
     pages: DataFrame, storage_level=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Single-parse ingest: ``(links, vertices, edges)`` with the Arrow HTML
-    parse executed exactly once.
+    """Single-parse ingest: ``(weighted, vertices, edges)`` with the Arrow
+    HTML parse executed exactly once.
 
-    ``links`` is persisted (MEMORY_AND_DISK unless ``storage_level`` says
-    otherwise) because both downstream frames consume it; the caller owns
-    the unpersist once ``vertices``/``edges`` are materialized. This is the
-    ingest entry point the north-star pipeline should use — calling
-    ``build_vertex_dictionary`` + ``extract_edges`` without a shared
-    ``links`` frame pays the corpus parse twice.
+    The shared frame is the *aggregated* ``weight_links`` table, not the raw
+    exploded links: the parse fuses with the groupBy's map-side combine in
+    one codegen stage, so the only thing materialized to cache is the small
+    deduplicated pair table. ``weighted`` is persisted (MEMORY_AND_DISK
+    unless ``storage_level`` says otherwise) because both downstream frames
+    consume it; the caller owns the unpersist once ``vertices``/``edges``
+    are materialized. This is the ingest entry point the north-star pipeline
+    should use — calling ``build_vertex_dictionary`` + ``extract_edges``
+    without a shared frame pays the corpus parse twice.
     """
     from pyspark.storagelevel import StorageLevel
 
     if storage_level is None:
         storage_level = StorageLevel.MEMORY_AND_DISK
-    links = extract_links(pages).persist(storage_level)
-    vertices = build_vertex_dictionary(pages, links=links)
-    edges = extract_edges(pages, vertices, links=links)
-    return links, vertices, edges
+    weighted = weight_links(extract_links(pages)).persist(storage_level)
+    vertices = build_vertex_dictionary(pages, links=weighted)
+    edges = extract_edges(pages, vertices, weighted=weighted)
+    return weighted, vertices, edges
 
 
 def undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:

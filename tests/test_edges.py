@@ -49,11 +49,11 @@ def test_edge_extraction_matches_python_ground_truth(spark):
 
 
 def test_build_graph_single_parse_parity(spark):
-    """The single-parse ingest (build_graph: one persisted links frame feeding
-    both the dictionary and the edge table) must produce exactly the frames
-    the two-parse legacy path produces."""
+    """The single-parse ingest (build_graph: one persisted weighted-link frame
+    feeding both the dictionary and the edge table) must produce exactly the
+    frames the two-parse legacy path produces."""
     pages = generate_pages(spark, n_pages=300).cache()
-    links, verts, edges = build_graph(pages)
+    weighted, verts, edges = build_graph(pages)
     try:
         legacy_verts = build_vertex_dictionary(pages)
         legacy_edges = extract_edges(pages, legacy_verts)
@@ -63,16 +63,18 @@ def test_build_graph_single_parse_parity(spark):
         assert {(r.src, r.dst, r.weight) for r in edges.collect()} == {
             (r.src, r.dst, r.weight) for r in legacy_edges.collect()
         }
-        # links is the raw parse: one row per href occurrence, duplicates kept
+        # weighted is the aggregated parse: one row per distinct url pair,
+        # weight = href multiplicity on the page (self-loops still present —
+        # they drop at the edge stage, after the id join)
         rows = pages.select("url", "html").collect()
-        expected_links = []
+        expected = {}
         for r in rows:
             for target in extract_links_py(bytes(r.html)):
-                expected_links.append((r.url, target))
-        got_links = [(r.src_url, r.dst_url) for r in links.collect()]
-        assert sorted(got_links) == sorted(expected_links)
+                expected[(r.url, target)] = expected.get((r.url, target), 0) + 1
+        got = {(r.src_url, r.dst_url): r.weight for r in weighted.collect()}
+        assert got == {k: float(v) for k, v in expected.items()}
     finally:
-        links.unpersist()
+        weighted.unpersist()
 
 
 def test_undirect_and_degrees(spark):

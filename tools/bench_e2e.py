@@ -43,6 +43,7 @@ def main() -> None:
         extract_edges,
         extract_links,
         pagerank,
+        weight_links,
     )
     from graph_partitioning_spark.graph.edges import undirect
 
@@ -56,28 +57,32 @@ def main() -> None:
     out["rows_pages"] = pages.count()
     out["t_pages_synth"] = round(time.time() - t0, 1)
 
-    # single-parse ingest: the Arrow HTML parse runs exactly once (into the
-    # persisted links frame); dictionary and edge table both derive from it
+    # single-parse ingest: the Arrow HTML parse runs exactly once, fused with
+    # the map-side combine of the weighted-pair aggregation; only the small
+    # deduplicated pair table is persisted. Dictionary and edge table both
+    # derive from it.
     t0 = time.time()
-    links = extract_links(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    out["rows_links"] = links.count()
+    weighted = weight_links(extract_links(pages)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out["rows_weighted_links"] = weighted.count()
     out["t_extract_links"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    verts = build_vertex_dictionary(pages, links=links).persist(
+    verts = build_vertex_dictionary(pages, links=weighted).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     out["rows_vertices"] = verts.count()
     out["t_vertex_dict"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    edges = extract_edges(pages, verts, links=links).persist(
+    edges = extract_edges(pages, verts, weighted=weighted).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     out["rows_edges_directed"] = edges.count()
     out["t_extract_edges"] = round(time.time() - t0, 1)
     pages.unpersist()
-    links.unpersist()
+    weighted.unpersist()
     t_ingest = out["t_extract_links"] + out["t_vertex_dict"] + out["t_extract_edges"]
     out["pages_per_sec_extract"] = round(n_pages / t_ingest, 1)
 
