@@ -108,6 +108,8 @@ def main() -> None:
         "simhash",
         "media_features",
         "ann_topk",
+        "ann_kmeans",       # learned IVF quantizer path (round 4)
+        "dedup_clusters",   # LSH pairs -> CC -> keep-list (round 4)
         "events_hourly",
         "user_sessions",
         "tpch_q1",
