@@ -155,6 +155,58 @@ def main() -> None:
     )
     print("[audit] bottleneck reorder: no SinglePartition exchange — OK")
 
+    # round 4: dedup_clusters must build pairs via banded equi-joins only —
+    # a cartesian/BNLJ in the pair path would be quadratic at corpus scale
+    dc = e.q_dedup_clusters(spark, sf)
+    dc_plan = io.StringIO()
+    with redirect_stdout(dc_plan):
+        dc.explain("formatted")
+    dc_txt = dc_plan.getvalue()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in dc_txt, f"dedup_clusters plans a {bad} — quadratic pair path"
+    print("[audit] dedup_clusters: banded equi-joins only, no all-pairs product — OK")
+
+    # round 4: the ann_kmeans probe join must be an equi-join on centroid id
+    # (quantizer fit is driver-bounded k-row handoffs; the SCAN-side work is
+    # the probe join, and that is what must stay hash-partitioned)
+    ak = e.q_ann_kmeans(spark, sf)
+    ak_plan = io.StringIO()
+    with redirect_stdout(ak_plan):
+        ak.explain("formatted")
+    ak_txt = ak_plan.getvalue()
+    assert "CartesianProduct" not in ak_txt, "ann_kmeans probe plans a cartesian product"
+    print("[audit] ann_kmeans: probe path equi-join on centroid id, no cartesian — OK")
+
+    # round 4: single-parse ingest — with the weighted link frame supplied,
+    # the edge path must contain NO second Arrow parse (no python eval node)
+    from graph_partitioning_spark.graph import (
+        build_vertex_dictionary, extract_edges, extract_links, weight_links,
+    )
+    from graph_partitioning_spark.sources import generate_pages
+    pages = generate_pages(spark, n_pages=500)
+    weighted = weight_links(extract_links(pages)).persist()
+    weighted.count()  # materialize: downstream plans read the cache, not the parse
+    verts = build_vertex_dictionary(pages, links=weighted)
+    edges4 = extract_edges(pages, verts, weighted=weighted)
+    # Text explain can't be used here: InMemoryRelation prints its *stored*
+    # plan (which legitimately contains the original Arrow parse) inline.
+    # Traverse the executed plan instead — InMemoryTableScan is a leaf, so
+    # the walk only sees nodes that would actually run.
+    def count_arrow(jplan):
+        name = jplan.nodeName()
+        n = 1 if ("ArrowEval" in name or "MapInPandas" in name) else 0
+        for i in range(jplan.children().size()):
+            n += count_arrow(jplan.children().apply(i))
+        return n
+
+    n_arrow = count_arrow(edges4._jdf.queryExecution().executedPlan())
+    assert n_arrow == 0, (
+        f"extract_edges with a supplied link frame executes {n_arrow} "
+        "Arrow parse node(s) — the single-parse contract is broken"
+    )
+    weighted.unpersist()
+    print("[audit] single-parse ingest: edge path has zero Arrow parse nodes — OK")
+
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Column-pruned 2-column scan, broadcast self-join on order key, partial+final hash agg.")
