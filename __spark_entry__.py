@@ -87,16 +87,35 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir}::edges"
     if key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
-    li = (
+    # Basket shape, not self-join shape: one groupBy(orderkey) with
+    # collect_set absorbs the dedup AND replaces the equi-self-join, so the
+    # lineitem-scale data crosses the wire once (on l_orderkey) instead of
+    # four times (distinct + both join sides + pair agg input). Pair
+    # expansion happens JVM-side inside the post-agg project via
+    # higher-order functions over the sorted basket array; per-basket
+    # blowup is O(items²), bounded by order size — the same pair count the
+    # join emits, minus the extra shuffles.
+    baskets = (
         _read(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps")),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
+        pairs.select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
         .persist()
