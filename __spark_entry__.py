@@ -91,10 +91,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set absorbs the dedup AND replaces the equi-self-join, so the
     # lineitem-scale data crosses the wire once (on l_orderkey) instead of
     # four times (distinct + both join sides + pair agg input). Pair
-    # expansion happens JVM-side inside the post-agg project via
-    # higher-order functions over the sorted basket array; per-basket
-    # blowup is O(items²), bounded by order size — the same pair count the
-    # join emits, minus the extra shuffles.
+    # expansion happens JVM-side via two CHAINED generators (posexplode the
+    # basket, then explode the greater-than suffix): the O(items²) pairs of
+    # a basket are streamed row-by-row through the generator pipeline, never
+    # materialized as one array value — a hot basket's largest in-memory
+    # object stays the O(items) basket array itself, the same bound
+    # collect_set already implies. Pair count is identical to what the
+    # self-join emits; only the extra shuffles are gone.
     baskets = (
         _read(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -102,20 +105,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
     pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, F.size("ps")),
-                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.col("ps"), F.posexplode("ps").alias("i", "src")
+    ).select(
+        "src",
+        F.explode(F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))).alias("dst"),
     )
     edges = (
-        pairs.select("p.src", "p.dst")
+        pairs
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
         .persist()

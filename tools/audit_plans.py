@@ -209,7 +209,7 @@ def main() -> None:
 
     e._EDGE_CACHE.clear()
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
-         "Basket shape: 2-column pruned scan, partial collect_set map-side, one orderkey shuffle, JVM pair expansion, partial+final pair agg — 2 exchanges total (self-join shape needed 4).")
+         "Basket shape: 2-column pruned scan, partial collect_set map-side, one orderkey shuffle, chained-generator pair expansion (posexplode + suffix explode — quadratic pair stream never materialized as one value), partial+final pair agg — 2 exchanges total (self-join shape needed 4).")
     grab("doc_quality", e.q_doc_quality(spark, sf),
          "Single pruned scan (doc_id, text); all scoring in one WholeStageCodegen projection.")
     grab("ann_topk", e.q_ann_topk(spark, sf),
