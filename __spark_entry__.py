@@ -191,6 +191,45 @@ l{i} AS (
     return ",\n".join(parts)
 
 
+def _hem_cte(phases: int) -> tuple[str, str]:
+    """CTE chain replaying multilevel.hem_matching's fixed phase loop over
+    the ``sym`` view: per phase, proposal argmax by (weight DESC, two-step
+    LCG priority DESC, dst ASC), mutual-handshake join, then retire matched
+    endpoints from the remaining edge set. Returns (cte_text, final_select
+    UNION ALL over the per-phase matched tables)."""
+    parts = ["rem0 AS MATERIALIZED (SELECT src, dst, weight FROM sym)"]
+    for ph in range(phases):
+        prio = (
+            f"((((dst % 1000003) * 1103515245 + 12345 + {ph}) % 2147483648)"
+            f" * 48271) % 2147483648"
+        )
+        parts.append(
+            f"""rk{ph} AS MATERIALIZED (
+  SELECT src AS id, dst,
+         ROW_NUMBER() OVER (PARTITION BY src
+           ORDER BY weight DESC, {prio} DESC, dst ASC) AS rn
+  FROM rem{ph})"""
+        )
+        parts.append(f"pr{ph} AS MATERIALIZED (SELECT id, dst AS best FROM rk{ph} WHERE rn = 1)")
+        parts.append(
+            f"""mt{ph} AS MATERIALIZED (
+  SELECT a.id AS lo, a.best AS hi
+  FROM pr{ph} a JOIN pr{ph} b ON a.best = b.id AND b.best = a.id AND a.id < b.id)"""
+        )
+        if ph < phases - 1:
+            parts.append(
+                f"mv{ph} AS MATERIALIZED (SELECT lo AS id FROM mt{ph} UNION ALL SELECT hi FROM mt{ph})"
+            )
+            parts.append(
+                f"""rem{ph + 1} AS MATERIALIZED (
+  SELECT r.src, r.dst, r.weight FROM rem{ph} r
+  WHERE r.src NOT IN (SELECT id FROM mv{ph})
+    AND r.dst NOT IN (SELECT id FROM mv{ph}))"""
+            )
+    final = " UNION ALL ".join(f"SELECT lo, hi FROM mt{p}" for p in range(phases))
+    return ",\n".join(parts), final
+
+
 def _fennel_cte(
     iters: int, buckets: int, k: int, seed: int = 0, p: str = "f",
     init_sql: str = "-1", inflow_slack: float | None = None,
@@ -1651,6 +1690,31 @@ def q_clique_nets(spark, sf_dir):
     )
 
 
+def q_hem_matching(spark, sf_dir):
+    """F6-role coarsening stage: one deterministic round of heavy-edge
+    handshake matching (multilevel.hem_matching) over the co-purchase
+    graph. Oracle replays the (weight DESC, id ASC) proposal argmax and
+    the mutual-proposal join exactly."""
+    from graph_partitioning_spark.partitioning import hem_matching
+
+    return hem_matching(copurchase_edges(spark, sf_dir))
+
+
+def q_coarsen_level1(spark, sf_dir):
+    """F6-role contraction stage: the level-1 coarse edge table after one
+    HEM round (multilevel.contract_matching) — supervertex = min(pair),
+    parallel edges summed, intra-supervertex self-loops dropped. Oracle
+    extends the matching CTE with the same contraction in SQL."""
+    from graph_partitioning_spark.partitioning import (
+        contract_matching,
+        hem_matching,
+    )
+
+    e = copurchase_edges(spark, sf_dir)
+    coarse_edges, _, _ = contract_matching(e, hem_matching(e))
+    return coarse_edges
+
+
 def q_bottleneck_order(spark, sf_dir):
     """F11 bottleneck node reordering (reference utils.py:1285-1354 +
     bottleneck.r): every arrival batch re-sequenced by in-engine BN
@@ -1738,6 +1802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leverage_centrality": q_leverage_centrality,
         "bottleneck_order": q_bottleneck_order,
         "clique_nets": q_clique_nets,
+        "hem_matching": q_hem_matching,
+        "coarsen_level1": q_coarsen_level1,
         # -- arrival pipeline --
         "arrival_sim": q_arrival_sim,
         "arrival_sliding": q_arrival_sliding,
@@ -1796,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
 
     en_stop = _sql_list(_STOP["en"])
 
+    hem_cte, hem_final = _hem_cte(4)
     f_cte, f_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=0, p="f")
     g0_cte, g0_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=0, p="g0")
     g1_cte, g1_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=1, p="g1")
@@ -2433,6 +2500,28 @@ w AS (SELECT p_partkey AS id, CAST((p_partkey % 4) + 2 AS DOUBLE) AS wt FROM par
 SELECT b.src, b.dst,
        CAST(GREATEST(ROUND(ws.wt + wd.wt), 1) AS BIGINT) AS hyperedge_weight
 FROM bip b JOIN w ws ON ws.id = b.src JOIN w wd ON wd.id = b.dst""",
+        "hem_matching": f"""WITH {EDGES_CTE},
+{hem_cte}
+{hem_final}""",
+        "coarsen_level1": f"""WITH {EDGES_CTE},
+{hem_cte},
+matched AS ({hem_final}),
+vmap AS (
+  SELECT v.id, COALESCE(m.super_id, v.id) AS super_id
+  FROM verts v LEFT JOIN (
+    SELECT lo AS id, lo AS super_id FROM matched
+    UNION ALL
+    SELECT hi AS id, lo AS super_id FROM matched
+  ) m ON v.id = m.id
+)
+SELECT LEAST(va.super_id, vb.super_id) AS src,
+       GREATEST(va.super_id, vb.super_id) AS dst,
+       SUM(e.weight) AS weight
+FROM edges e
+JOIN vmap va ON e.src = va.id
+JOIN vmap vb ON e.dst = vb.id
+WHERE va.super_id <> vb.super_id
+GROUP BY 1, 2""",
         "bottleneck_order": f"""WITH RECURSIVE {EDGES_CTE},
 ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rnk FROM verts),
 bnodes AS (SELECT id, CAST(rnk // {BN_BATCH} AS BIGINT) AS batch FROM ranked),

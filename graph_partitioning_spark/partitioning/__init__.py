@@ -9,6 +9,12 @@ from .fennel import (  # noqa: F401
     place_singletons,
 )
 from .harness import best_of  # noqa: F401
+from .multilevel import (  # noqa: F401
+    MultilevelConfig,
+    contract_matching,
+    hem_matching,
+    multilevel_partition,
+)
 from .hypergraph import (  # noqa: F401
     hyperedge_weights,
     maximal_cliques,

@@ -1,0 +1,188 @@
+"""Multilevel partitioner (F6 role): matching validity, exact contraction
+parity against a NumPy oracle, end-to-end quality vs one-shot FENNEL.
+
+Reference provenance: the multilevel coarsen→partition→refine scheme fills
+the role of the external SCOTCH solver
+(/root/reference/graph_partitioning/partitioners/scotch/scotch.py:15-56);
+semantics here follow the published Karypis-Kumar multilevel scheme, not the
+C library internals.
+"""
+
+import numpy as np
+
+from graph_partitioning_spark.graph.edges import undirect
+from graph_partitioning_spark.partitioning import (
+    FennelConfig,
+    MultilevelConfig,
+    contract_matching,
+    fennel_partition,
+    hem_matching,
+    multilevel_partition,
+)
+from graph_partitioning_spark.partitioning.metrics import cut_metrics, waste
+
+from .conftest import random_edges
+from .test_fennel import _edges_df, planted_graph
+
+
+def _hand_edges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, weight double")
+
+
+def test_hem_matching_hand_example(spark):
+    # 0-1 (5), 1-2 (3), 2-3 (10), 0-3 (1): mutual maxima are {0,1} and {2,3}
+    edges = _hand_edges(spark, [(0, 1, 5.0), (1, 2, 3.0), (2, 3, 10.0), (0, 3, 1.0)])
+    got = sorted(tuple(r) for r in hem_matching(edges).collect())
+    assert got == [(0, 1), (2, 3)]
+
+
+def _prio(v, seed=0):
+    return (((v % 1000003) * 1103515245 + 12345 + seed) % 2147483648 * 48271) % 2147483648
+
+
+def test_hem_matching_tie_breaks_on_priority(spark):
+    # triangle, all weight 1: ties resolve by the deterministic two-step
+    # LCG priority — p(2) > p(0) > p(1), so 0→2, 1→2, 2→0: match {0,2}
+    assert _prio(2) > _prio(0) > _prio(1)
+    edges = _hand_edges(spark, [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)])
+    got = sorted(tuple(r) for r in hem_matching(edges).collect())
+    assert got == [(0, 2)]
+
+
+def _np_matching(src, dst, w, seed=0, phases=4):
+    """Pure-Python oracle for the phased handshake: per phase, best
+    unmatched neighbor by (weight desc, priority desc, id asc), mutual
+    pairs match, matched vertices retire."""
+    adj = {}
+    for s, d, ww in zip(src, dst, w):
+        adj.setdefault(s, {}).setdefault(d, 0.0)
+        adj.setdefault(d, {}).setdefault(s, 0.0)
+        adj[s][d] += ww
+        adj[d][s] += ww
+    pairs, gone = [], set()
+    for ph in range(phases):
+        s_ph = seed * 101 + ph
+        best = {}
+        for v, nbrs in adj.items():
+            if v in gone:
+                continue
+            live = [(u, ww) for u, ww in nbrs.items() if u not in gone]
+            if not live:
+                continue
+            best[v] = max(
+                live, key=lambda kv: (kv[1], _prio(kv[0], s_ph), -kv[0])
+            )[0]
+        new = [
+            (v, best[v])
+            for v in best
+            if best.get(best[v]) == v and v < best[v]
+        ]
+        pairs.extend(new)
+        for lo, hi in new:
+            gone.add(lo)
+            gone.add(hi)
+    return sorted(pairs)
+
+
+def test_hem_matching_random_graph_matches_numpy_oracle(spark):
+    src, dst, w = random_edges(120, 400, seed=11, weighted=True)
+    edges = undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    )
+    got = sorted(tuple(r) for r in hem_matching(edges).collect())
+    assert got == _np_matching(src.tolist(), dst.tolist(), w.tolist())
+    # validity: no vertex appears twice
+    flat = [v for pair in got for v in pair]
+    assert len(flat) == len(set(flat))
+
+
+def test_contract_matching_matches_numpy_oracle(spark):
+    src, dst, w = random_edges(80, 300, seed=13, weighted=True)
+    edges = undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    ).persist()
+    matching = hem_matching(edges)
+    coarse_e, coarse_v, vmap = contract_matching(edges, matching)
+
+    # NumPy oracle: canonical weights, then contract through the same map
+    agg = {}
+    for s, d, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        key = (min(s, d), max(s, d))
+        agg[key] = agg.get(key, 0.0) + ww
+    pairs = _np_matching(src.tolist(), dst.tolist(), w.tolist())
+    super_of = {}
+    for lo, hi in pairs:
+        super_of[lo] = lo
+        super_of[hi] = lo
+    exp_edges, exp_w = {}, {}
+    for (s, d), ww in agg.items():
+        ss, dd = super_of.get(s, s), super_of.get(d, d)
+        if ss == dd:
+            continue
+        key = (min(ss, dd), max(ss, dd))
+        exp_edges[key] = exp_edges.get(key, 0.0) + ww
+    for v in {x for e in agg for x in e}:
+        sv = super_of.get(v, v)
+        exp_w[sv] = exp_w.get(sv, 0.0) + 1.0
+
+    got_edges = {
+        (r["src"], r["dst"]): r["weight"] for r in coarse_e.collect()
+    }
+    assert got_edges.keys() == exp_edges.keys()
+    for k in exp_edges:
+        assert abs(got_edges[k] - exp_edges[k]) < 1e-9
+    got_w = {r["id"]: r["weight"] for r in coarse_v.collect()}
+    assert got_w == exp_w
+    # vmap covers every vertex exactly once
+    vm = vmap.collect()
+    all_verts = {x for e in agg for x in e}
+    assert len(vm) == len({r["id"] for r in vm}) == len(all_verts)
+
+
+def test_multilevel_assigns_everyone_quality_and_balance(spark):
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=4, micro_batches=6)
+    ml = MultilevelConfig(coarsen_to=40, max_levels=4, refine_iterations=1)
+    result, info = multilevel_partition(edges, cfg, ml)
+    rows = result.collect()
+    n = len(rows)
+    assert n == 180
+    assert all(0 <= r["partition"] < 3 for r in rows)
+    assert len(info["levels"]) >= 1  # it actually coarsened
+    assert info["coarse_n"] < 180
+
+    w_metric = waste(result, 3, n_nodes=n)
+    assert w_metric < 0.35
+    cm = cut_metrics(edges, result)
+    # one-shot FENNEL on the same graph/config passes < 0.45 (test_fennel);
+    # multilevel must be at least as good on a planted-partition graph
+    one_shot, _ = fennel_partition(edges, cfg)
+    assert cm["cut_ratio"] <= cut_metrics(edges, one_shot)["cut_ratio"] + 0.05
+
+
+def test_multilevel_deterministic(spark):
+    src, dst, w = random_edges(150, 500, seed=3)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=4, num_iterations=2, micro_batches=4)
+    ml = MultilevelConfig(coarsen_to=30, max_levels=2)
+    a = {(r["id"], r["partition"]) for r in multilevel_partition(edges, cfg, ml)[0].collect()}
+    b = {(r["id"], r["partition"]) for r in multilevel_partition(edges, cfg, ml)[0].collect()}
+    assert a == b
+
+
+def test_multilevel_degenerates_to_fennel_when_no_coarsening(spark):
+    src, dst, w = random_edges(100, 300, seed=9)
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=3, micro_batches=4)
+    ml = MultilevelConfig(coarsen_to=10_000)  # graph already small enough
+    got, info = multilevel_partition(edges, cfg, ml)
+    assert info["levels"] == []
+    exp, _ = fennel_partition(edges, cfg)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
