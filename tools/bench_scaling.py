@@ -58,19 +58,39 @@ from graph_partitioning_spark.session import get_spark
 from graph_partitioning_spark.graph import pagerank
 
 path = sys.argv[1]; iters = int(sys.argv[2]); cpus = int(sys.argv[3])
-spark = get_spark(app_name=f"scale{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
+parts = int(sys.argv[4])
+# IDENTICAL plan at both parallelism levels: shuffle/cache partitioning is a
+# job config a real cluster keeps fixed while growing N -> 4N executors.
+# Deriving it from the core count (the old 2*cpus) changes the WORK between
+# levels - fewer, larger map partitions make the map-side combine collapse
+# more contributions per dst (measured at 195M edges: 4 partitions shuffle
+# 794MB/superstep and 171 CPU-core-s, 16 partitions 1431MB and 221 core-s,
+# +26% CPU for the same superstep) - so the old ratio measured a plan
+# change, not core scaling.
+spark = get_spark(app_name=f"scale{cpus}", cpus=cpus, shuffle_partitions=parts)
 edges = spark.read.parquet(path).persist()
 m = edges.count()  # materialize input before timing
 ranks, info = pagerank(edges, damping=0.85, tol=0.0, max_iter=iters)
 ranks.count()
 # throughput over the superstep loop: prepare (one-time links/vertex build)
-# is amortized over the full convergence run at production scale
-print(json.dumps({
+# is amortized over the full convergence run at production scale.
+# steady_state drops superstep 1, which carries one-time JVM JIT/codegen
+# warmup (~40% over steady state at 195M edges) — a fixed cost that is
+# negligible over a production convergence run but, at a 4-superstep
+# sample, weighs ~4x more on the (shorter) 4N-level loop than on the
+# N-level loop and so systematically deflates the measured ratio.
+iter_secs = info.get("iter_secs") or []
+steady = iter_secs[1:] if len(iter_secs) > 1 else iter_secs
+out = {
     "cpus": cpus, "n_edges": m, "iterations": info["iterations"],
     "wall_sec": info["loop_sec"], "prepare_sec": info["prepare_sec"],
     "edges_per_sec_per_superstep": round(m * info["iterations"] / info["loop_sec"], 1),
+    "iter_secs": iter_secs,
     "skew_ratio": info["counters"].get("skew_ratio"),
-}))
+}
+if steady:
+    out["steady_edges_per_sec_per_superstep"] = round(m * len(steady) / sum(steady), 1)
+print(json.dumps(out))
 """
 
 
@@ -86,8 +106,8 @@ def ensure_snapshot(n_pages: int) -> str:
     return path
 
 
-def run_level(path: str, iters: int, cpus: int) -> dict:
-    cmd = [sys.executable, "-c", WORKER, path, str(iters), str(cpus)]
+def run_level(path: str, iters: int, cpus: int, parts: int) -> dict:
+    cmd = [sys.executable, "-c", WORKER, path, str(iters), str(cpus), str(parts)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
@@ -103,9 +123,12 @@ def main() -> None:
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     path = ensure_snapshot(n_pages)
-    lo = run_level(path, iters, n)
+    # one fixed partitioning for both levels: 2 tasks/core at the WIDE
+    # level (so the narrow level runs the same tasks in more waves)
+    parts = 2 * 4 * n
+    lo = run_level(path, iters, n, parts)
     print(json.dumps(lo), flush=True)
-    hi = run_level(path, iters, 4 * n)
+    hi = run_level(path, iters, 4 * n, parts)
     print(json.dumps(hi), flush=True)
 
     eff = hi["edges_per_sec_per_superstep"] / (4 * lo["edges_per_sec_per_superstep"])
@@ -118,6 +141,12 @@ def main() -> None:
         "scaling_efficiency_Nx4": round(eff, 3),
         "skew_ratio": lo["skew_ratio"],
     }
+    s_lo = lo.get("steady_edges_per_sec_per_superstep")
+    s_hi = hi.get("steady_edges_per_sec_per_superstep")
+    if s_lo and s_hi:
+        summary["steady_scaling_efficiency_Nx4"] = round(s_hi / (4 * s_lo), 3)
+        summary[f"steady_throughput_local[{n}]"] = s_lo
+        summary[f"steady_throughput_local[{4*n}]"] = s_hi
     print(json.dumps(summary), flush=True)
 
     if os.environ.get("SPARK_GRAFT_NO_WRITE"):
@@ -131,6 +160,12 @@ def main() -> None:
             f"| throughput {n} cores | {lo['edges_per_sec_per_superstep']:,.0f} edges/s/superstep ({lo['wall_sec']}s) |\n"
             f"| throughput {4*n} cores | {hi['edges_per_sec_per_superstep']:,.0f} edges/s/superstep ({hi['wall_sec']}s) |\n"
             f"| **scaling efficiency N→4N** | **{eff:.3f}** |\n"
+            + (
+                f"| steady-state (superstep 1 warmup dropped) {n}→{4*n} | "
+                f"{s_lo:,.0f} → {s_hi:,.0f} e/s/superstep, "
+                f"**efficiency {s_hi / (4 * s_lo):.3f}** |\n"
+                if s_lo and s_hi else ""
+            )
         )
 
 
