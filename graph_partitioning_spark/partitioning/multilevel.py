@@ -94,7 +94,12 @@ def _priority(col, seed: int):
     return (step1 * 48271) % 2147483648
 
 
-def hem_matching(edges: DataFrame, seed: int = 0, phases: int = 4) -> DataFrame:
+def hem_matching(
+    edges: DataFrame,
+    seed: int = 0,
+    phases: int = 4,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
     """Deterministic heavy-edge handshake matching (one coarsening round).
 
     ``edges`` is a canonical undirected edge list (src < dst, weight).
@@ -107,6 +112,15 @@ def hem_matching(edges: DataFrame, seed: int = 0, phases: int = 4) -> DataFrame:
     so matched vertices leave and the remainder re-propose for a fixed
     ``phases`` count — the standard multi-phase scheme of parallel
     multilevel coarseners. Returns ``(lo, hi)`` pairs with lo < hi.
+
+    ``exclude`` (optional, one ``id`` column) removes vertices from
+    matching entirely — they ride through contraction as singleton
+    supervertices. Used for fixed vertices: matching a fixed vertex into
+    a free one would force the pair to the fixed side's partition before
+    partitioning even runs (and two fixed vertices with different target
+    partitions must never merge), so the multilevel driver keeps them
+    uncontracted, mirroring SCOTCH_graphMapFixed's parttab semantics
+    (reference scotch_partitioner.py:99-211).
 
     Runs exactly ``phases`` phases with no data-dependent early exit, so
     an external SQL engine can replay it as a fixed CTE chain (the
@@ -127,6 +141,15 @@ def hem_matching(edges: DataFrame, seed: int = 0, phases: int = 4) -> DataFrame:
     contraction.
     """
     remaining = symmetrize(edges)
+    if exclude is not None:
+        ex = exclude.select("id")
+        remaining = remaining.join(
+            ex, remaining.src == ex.id, "left_anti"
+        )
+        ex2 = exclude.select("id")
+        remaining = remaining.join(
+            ex2, remaining.dst == ex2.id, "left_anti"
+        )
     phase_caches: list[DataFrame] = []
     out: DataFrame | None = None
     for ph in range(phases):
@@ -229,6 +252,7 @@ def multilevel_partition(
     edges: DataFrame,
     config: FennelConfig,
     ml: MultilevelConfig | None = None,
+    fixed_assignments: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Multilevel FENNEL: coarsen, partition the coarse graph, refine up.
 
@@ -239,6 +263,13 @@ def multilevel_partition(
     ``ml.refine_iterations`` warm-started restream passes, which only move
     vertices that improve the score — the batch-synchronous analogue of
     the classic per-level KL/FM refinement sweep.
+
+    ``fixed_assignments`` (id, partition) mirrors SCOTCH_graphMapFixed's
+    parttab (reference scotch_partitioner.py:99-211): those vertices are
+    excluded from matching (they ride through every level uncontracted,
+    so their ids — and therefore their pins — survive verbatim), seed the
+    coarse-level FENNEL as its ``initial``, and are frozen via ``fixed=``
+    at the coarse solve and every refinement sweep.
 
     Returns ``(assignments(id, partition), info)``; ``info['levels']``
     records the pyramid (n, matched per round) and ``info['coarse']`` the
@@ -256,7 +287,9 @@ def multilevel_partition(
     level_stats: list[dict[str, Any]] = []
 
     while n > ml.coarsen_to and len(pyramid) < ml.max_levels:
-        matching = hem_matching(cur_edges, seed=len(pyramid))
+        matching = hem_matching(
+            cur_edges, seed=len(pyramid), exclude=fixed_assignments
+        )
         matched = matching.count()  # union of per-phase leaves — cheap
         if matched < ml.min_shrink * n:
             for c in getattr(matching, "_hem_phase_caches", []):
@@ -284,7 +317,16 @@ def multilevel_partition(
         cur_edges, cur_verts = coarse_edges, coarse_verts
         n -= matched
 
-    assign, coarse_info = fennel_partition(cur_edges, config, vertices=cur_verts)
+    fixed_ids = (
+        fixed_assignments.select("id") if fixed_assignments is not None else None
+    )
+    assign, coarse_info = fennel_partition(
+        cur_edges,
+        config,
+        vertices=cur_verts,
+        initial=fixed_assignments,
+        fixed=fixed_ids,
+    )
 
     refine_cfg = replace(config, num_iterations=ml.refine_iterations)
     for vmap, lvl_edges, lvl_verts in reversed(pyramid):
@@ -295,7 +337,11 @@ def multilevel_partition(
         )
         if ml.refine_iterations > 0:
             assign, _ = fennel_partition(
-                lvl_edges, refine_cfg, vertices=lvl_verts, initial=projected
+                lvl_edges,
+                refine_cfg,
+                vertices=lvl_verts,
+                initial=projected,
+                fixed=fixed_ids,
             )
         else:
             assign = projected

@@ -177,6 +177,25 @@ def test_multilevel_deterministic(spark):
     assert a == b
 
 
+def test_multilevel_respects_fixed_assignments(spark):
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=4)
+    ml = MultilevelConfig(coarsen_to=60, max_levels=2, refine_iterations=1)
+    # pin a handful of vertices AGAINST their planted community
+    pins = [(5, 2), (70, 0), (130, 1), (17, 1)]
+    fixed = spark.createDataFrame(pins, "id long, partition int")
+    result, info = multilevel_partition(edges, cfg, ml, fixed_assignments=fixed)
+    got = {r["id"]: r["partition"] for r in result.collect()}
+    assert len(got) == 180
+    for vid, p in pins:
+        assert got[vid] == p, f"fixed vertex {vid} moved to {got[vid]}"
+    # fixed ids must never appear in any matching (they ride uncontracted)
+    m = hem_matching(edges, exclude=fixed)
+    touched = {v for r in m.collect() for v in (r["lo"], r["hi"])}
+    assert touched.isdisjoint({vid for vid, _ in pins})
+
+
 def test_multilevel_degenerates_to_fennel_when_no_coarsening(spark):
     src, dst, w = random_edges(100, 300, seed=9)
     edges = _edges_df(spark, src, dst, w)
