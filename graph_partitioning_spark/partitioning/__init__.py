@@ -11,8 +11,10 @@ from .fennel import (  # noqa: F401
 from .harness import best_of  # noqa: F401
 from .multilevel import (  # noqa: F401
     MultilevelConfig,
+    contract_map,
     contract_matching,
     hem_matching,
+    lpa_coarsen,
     multilevel_partition,
 )
 from .hypergraph import (  # noqa: F401

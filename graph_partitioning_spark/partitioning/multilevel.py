@@ -46,7 +46,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -71,6 +71,17 @@ class MultilevelConfig:
     #: FENNEL restream passes for the per-level refinement sweep (the
     #: coarsest level uses the wrapped config's own num_iterations)
     refine_iterations: int = 1
+    #: "hem" (pairwise heavy-edge handshake — mesh/community graphs) or
+    #: "lpa" (size-constrained label-propagation clustering — the ParHIP
+    #: scheme; use for power-law/web graphs, where pairwise matching
+    #: shrinks ~13%/round but LPA collapses leaf neighborhoods into hubs)
+    coarsener: str = "hem"
+    #: LPA coarsening rounds per level
+    lpa_rounds: int = 2
+    #: max cluster weight as a fraction of one partition's share
+    #: (total_weight / k); keeps every supervertex small enough that the
+    #: coarse graph remains balanceable
+    lpa_cluster_cap: float = 0.5
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -191,36 +202,135 @@ def hem_matching(
     return out
 
 
-def contract_matching(
+def lpa_coarsen(
     edges: DataFrame,
-    matching: DataFrame,
     vertices: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Contract ``matching`` pairs into supervertices.
+    rounds: int = 2,
+    max_weight: float | None = None,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-coarsening map via size-constrained label propagation.
 
-    Returns ``(coarse_edges, coarse_vertices, vmap)`` where
+    Pairwise matching coarsens scale-free graphs terribly: a degree-d hub
+    can match only one neighbor per round (measured: 13% shrink/round on
+    the synthetic power-law link graph), so the pyramid never forms. The
+    published remedy — ParHIP's size-constrained label propagation
+    coarsening (Meyerhenke, Sanders & Schulz, "Partitioning Complex
+    Networks via Size-constrained Clustering") — lets whole leaf
+    neighborhoods collapse into their hub in one round, capped so no
+    cluster outgrows a fraction of a partition.
 
-    * ``vmap(id, super_id)`` maps every vertex of this level (edge
-      endpoints plus any extra ids in ``vertices``) to its supervertex —
-      ``min(lo, hi)`` for matched pairs, the id itself otherwise;
-    * ``coarse_edges(src, dst, weight)`` is canonical (src < dst) with
-      parallel edges summed and intra-supervertex self-loops dropped;
-    * ``coarse_vertices(id, weight)`` rolls up vertex weights (default 1.0
-      per fine vertex), so balance constraints survive contraction.
+    Semantics per round (all deterministic): every vertex's candidate
+    label is the neighbor label with max total incident edge weight
+    (ties: smaller label) — the T3 LPA vote re-used; switches into each
+    target cluster are then admitted in (votes DESC, id ASC) order while
+    the target's weight stays under ``max_weight`` (same admission
+    discipline as FennelConfig.inflow_cap_slack, and the same
+    per-target-partitioned window plan — no global sort).
+
+    ``exclude``: ids never switch and never receive members (their edges
+    leave the vote join) — fixed vertices stay singleton supervertices.
+
+    Returns ``vmap(id, super_id)`` covering every vertex of the level;
+    ``super_id`` is the final label (a vertex id, purely as a cluster
+    name). Labels do not chase chains — a label owner that itself moved
+    elsewhere still names its old cluster, which is fine for contraction.
     """
+    sym = symmetrize(edges)
+    if exclude is not None:
+        ex = exclude.select("id")
+        sym = sym.join(ex, sym.src == ex.id, "left_anti")
+        ex2 = exclude.select("id")
+        sym = sym.join(ex2, sym.dst == ex2.id, "left_anti")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
     ids = symmetrize(edges).select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
-    pair_map = matching.select(
-        F.col("lo").alias("super_id"),
-        F.explode(F.array("lo", "hi")).alias("id"),
-    )
-    vmap = (
-        ids.join(pair_map, "id", "left")
-        .select("id", F.coalesce("super_id", "id").alias("super_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if vertices is not None:
+        w = ids.join(vertices.select("id", "weight"), "id", "left").select(
+            "id", F.coalesce("weight", F.lit(1.0)).alias("w")
+        )
+    else:
+        w = ids.select("id", F.lit(1.0).alias("w"))
+    labels = materialize(w.select("id", F.col("id").alias("label"), "w"))
 
+    for _ in range(rounds):
+        nbr = labels.select(
+            F.col("id").alias("dst"), F.col("label").alias("cand")
+        )
+        votes = (
+            sym.join(nbr, "dst")
+            .groupBy("src", "cand")
+            .agg(F.sum("weight").alias("votes"))
+        )
+        best = votes.groupBy(F.col("src").alias("id")).agg(
+            F.max(F.struct(F.col("votes"), (-F.col("cand")).alias("nc"))).alias("b")
+        ).select("id", F.col("b.votes").alias("votes"), (-F.col("b.nc")).alias("cand"))
+        cur = labels.select("id", "label", "w")
+        cand = (
+            cur.join(best, "id", "left")
+            .select(
+                "id",
+                "label",
+                "w",
+                F.coalesce("cand", "label").alias("cand"),
+                F.coalesce("votes", F.lit(0.0)).alias("votes"),
+            )
+        )
+        if max_weight is not None:
+            sizes = labels.groupBy(F.col("label").alias("cand")).agg(
+                F.sum("w").alias("size")
+            )
+            movers = cand.where(F.col("cand") != F.col("label")).join(
+                sizes, "cand", "left"
+            )
+            wdw = (
+                Window.partitionBy("cand")
+                .orderBy(F.desc("votes"), F.asc("id"))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            admitted = movers.select(
+                "id",
+                "cand",
+                (
+                    F.coalesce("size", F.lit(0.0)) + F.sum("w").over(wdw)
+                    <= F.lit(float(max_weight))
+                ).alias("_ok"),
+            )
+            new_labels = (
+                cand.join(admitted.select("id", "_ok"), "id", "left")
+                .select(
+                    "id",
+                    F.when(F.coalesce("_ok", F.lit(False)), F.col("cand"))
+                    .otherwise(F.col("label"))
+                    .alias("label"),
+                    "w",
+                )
+            )
+        else:
+            new_labels = cand.select("id", F.col("cand").alias("label"), "w")
+        old = labels
+        labels = materialize(new_labels)
+        release(old)
+
+    vmap = labels.select("id", F.col("label").alias("super_id"))
+    sym.unpersist()
+    return vmap
+
+
+def contract_map(
+    edges: DataFrame,
+    vmap: DataFrame,
+    vertices: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Contract ``edges`` through ``vmap(id, super_id)``.
+
+    Returns ``(coarse_edges, coarse_vertices)``: canonical (src < dst)
+    coarse edges with parallel edges summed and intra-supervertex
+    self-loops dropped; vertex weights rolled up (default 1.0 per fine
+    vertex) so balance constraints survive contraction.
+    """
     vmap_s = vmap.select(F.col("id").alias("src"), F.col("super_id").alias("_s"))
     vmap_d = vmap.select(F.col("id").alias("dst"), F.col("super_id").alias("_d"))
     coarse_edges = (
@@ -245,6 +355,34 @@ def contract_matching(
     coarse_vertices = w.groupBy(F.col("super_id").alias("id")).agg(
         F.sum("weight").alias("weight")
     )
+    return coarse_edges, coarse_vertices
+
+
+def contract_matching(
+    edges: DataFrame,
+    matching: DataFrame,
+    vertices: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Contract ``matching`` pairs into supervertices.
+
+    Returns ``(coarse_edges, coarse_vertices, vmap)`` — vmap maps every
+    vertex of this level (edge endpoints plus any extra ids in
+    ``vertices``) to ``min(lo, hi)`` for matched pairs, itself otherwise;
+    contraction semantics as :func:`contract_map`.
+    """
+    ids = symmetrize(edges).select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        ids = ids.unionByName(vertices.select("id")).distinct()
+    pair_map = matching.select(
+        F.col("lo").alias("super_id"),
+        F.explode(F.array("lo", "hi")).alias("id"),
+    )
+    vmap = (
+        ids.join(pair_map, "id", "left")
+        .select("id", F.coalesce("super_id", "id").alias("super_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    coarse_edges, coarse_vertices = contract_map(edges, vmap, vertices)
     return coarse_edges, coarse_vertices, vmap
 
 
@@ -286,18 +424,43 @@ def multilevel_partition(
     pyramid: list[tuple[DataFrame, DataFrame, DataFrame | None]] = []
     level_stats: list[dict[str, Any]] = []
 
+    total_w: float | None = None
     while n > ml.coarsen_to and len(pyramid) < ml.max_levels:
-        matching = hem_matching(
-            cur_edges, seed=len(pyramid), exclude=fixed_assignments
-        )
-        matched = matching.count()  # union of per-phase leaves — cheap
-        if matched < ml.min_shrink * n:
-            for c in getattr(matching, "_hem_phase_caches", []):
-                release(c)
-            break
-        coarse_edges, coarse_verts, vmap = contract_matching(
-            cur_edges, matching, cur_verts
-        )
+        if ml.coarsener == "lpa":
+            if total_w is None:
+                if cur_verts is not None:
+                    total_w = float(
+                        cur_verts.agg(F.sum("weight")).first()[0] or 0.0
+                    )
+                else:
+                    total_w = float(n)
+            cap = ml.lpa_cluster_cap * total_w / config.num_partitions
+            vmap = lpa_coarsen(
+                cur_edges,
+                cur_verts,
+                rounds=ml.lpa_rounds,
+                max_weight=cap,
+                exclude=fixed_assignments,
+            )
+            n_coarse = vmap.select("super_id").distinct().count()
+            matched = n - n_coarse
+            if matched < ml.min_shrink * n:
+                release(vmap)
+                break
+            coarse_edges, coarse_verts = contract_map(cur_edges, vmap, cur_verts)
+            matching = None
+        else:
+            matching = hem_matching(
+                cur_edges, seed=len(pyramid), exclude=fixed_assignments
+            )
+            matched = matching.count()  # union of per-phase leaves — cheap
+            if matched < ml.min_shrink * n:
+                for c in getattr(matching, "_hem_phase_caches", []):
+                    release(c)
+                break
+            coarse_edges, coarse_verts, vmap = contract_matching(
+                cur_edges, matching, cur_verts
+            )
         # Truncate lineage at EVERY level boundary (iterutil.materialize,
         # not persist): level k's contraction references level k−1's edge
         # table several times (vertex set, both join sides, the weight
@@ -307,13 +470,18 @@ def multilevel_partition(
         # level 3 when only persisted). With leaf level states every
         # level's planning cost is constant.
         vmap_m = materialize(vmap)
-        vmap.unpersist()  # drop contract_matching's internal cache
         coarse_edges = materialize(coarse_edges)
         coarse_verts = materialize(coarse_verts)
+        # only now is nothing lazy left referencing the coarsener's state
+        if ml.coarsener == "lpa":
+            release(vmap)  # lpa_coarsen's materialized label state
+        else:
+            vmap.unpersist()  # drop contract_matching's internal cache
         pyramid.append((vmap_m, cur_edges, cur_verts))
         level_stats.append({"n": n, "matched": matched})
-        for c in getattr(matching, "_hem_phase_caches", []):
-            release(c)
+        if matching is not None:
+            for c in getattr(matching, "_hem_phase_caches", []):
+                release(c)
         cur_edges, cur_verts = coarse_edges, coarse_verts
         n -= matched
 

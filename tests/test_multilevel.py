@@ -17,6 +17,7 @@ from graph_partitioning_spark.partitioning import (
     contract_matching,
     fennel_partition,
     hem_matching,
+    lpa_coarsen,
     multilevel_partition,
 )
 from graph_partitioning_spark.partitioning.metrics import cut_metrics, waste
@@ -194,6 +195,56 @@ def test_multilevel_respects_fixed_assignments(spark):
     m = hem_matching(edges, exclude=fixed)
     touched = {v for r in m.collect() for v in (r["lo"], r["hi"])}
     assert touched.isdisjoint({vid for vid, _ in pins})
+
+
+def test_lpa_coarsen_star_collapses_in_one_level(spark):
+    # a 50-leaf star defeats pairwise matching (1 pair/round) but LPA
+    # collapses it: every leaf adopts the hub's label in round 1
+    edges = _hand_edges(spark, [(0, i, 1.0) for i in range(1, 51)])
+    vmap = lpa_coarsen(edges, rounds=2, max_weight=1000.0)
+    rows = vmap.collect()
+    assert len(rows) == 51
+    n_clusters = len({r["super_id"] for r in rows})
+    assert n_clusters <= 3  # 51 vertices -> a couple of clusters
+
+
+def test_lpa_coarsen_respects_cluster_cap_and_determinism(spark):
+    src, dst, w = random_edges(150, 600, seed=21, weighted=True)
+    edges = undirect(
+        spark.createDataFrame(
+            list(zip(src.tolist(), dst.tolist(), w.tolist())),
+            "src long, dst long, weight double",
+        )
+    ).persist()
+    cap = 12.0
+    a = {(r["id"], r["super_id"]) for r in lpa_coarsen(edges, rounds=2, max_weight=cap).collect()}
+    b = {(r["id"], r["super_id"]) for r in lpa_coarsen(edges, rounds=2, max_weight=cap).collect()}
+    assert a == b  # deterministic
+    # every vertex mapped exactly once
+    ids = [x[0] for x in a]
+    assert len(ids) == len(set(ids))
+    # cluster weight (unit vertex weights) never exceeds the cap
+    from collections import Counter
+
+    sizes = Counter(s for _, s in a)
+    assert max(sizes.values()) <= cap
+
+
+def test_multilevel_lpa_coarsener_quality(spark):
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=4, micro_batches=6)
+    ml = MultilevelConfig(
+        coarsen_to=40, max_levels=3, refine_iterations=1, coarsener="lpa"
+    )
+    result, info = multilevel_partition(edges, cfg, ml)
+    rows = result.collect()
+    assert len(rows) == 180
+    assert len(info["levels"]) >= 1
+    cm = cut_metrics(edges, result)
+    one_shot, _ = fennel_partition(edges, cfg)
+    assert cm["cut_ratio"] <= cut_metrics(edges, one_shot)["cut_ratio"] + 0.05
+    assert waste(result, 3, n_nodes=len(rows)) < 0.35
 
 
 def test_multilevel_degenerates_to_fennel_when_no_coarsening(spark):
