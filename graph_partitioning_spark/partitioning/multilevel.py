@@ -147,9 +147,10 @@ def hem_matching(
     the union), so an un-truncated chain grows the logical plan ~3^phases
     and driver-side analysis alone was measured at 85s for a 200-vertex
     graph at 4 phases. With leaf matched tables the plan grows linearly.
-    The small per-phase states are tracked on the returned frame as
-    ``_hem_phase_caches`` so the multilevel loop can release them after
-    contraction.
+    The returned frame is itself a materialized leaf (the per-phase leaves
+    are released before returning, so direct callers never leak them); it
+    is tracked on itself as ``_hem_phase_caches`` so the multilevel loop
+    can release the one remaining state after contraction.
     """
     remaining = symmetrize(edges)
     if exclude is not None:
@@ -198,8 +199,11 @@ def hem_matching(
             remaining = remaining.join(
                 mv2, remaining.dst == mv2.id, "left_anti"
             )
-    out._hem_phase_caches = phase_caches  # released by multilevel_partition
-    return out
+    final = materialize(out)
+    for c in phase_caches:
+        release(c)
+    final._hem_phase_caches = [final]  # released by multilevel_partition
+    return final
 
 
 def lpa_coarsen(
@@ -223,10 +227,15 @@ def lpa_coarsen(
     Semantics per round (all deterministic): every vertex's candidate
     label is the neighbor label with max total incident edge weight
     (ties: smaller label) — the T3 LPA vote re-used; switches into each
-    target cluster are then admitted in (votes DESC, id ASC) order while
-    the target's weight stays under ``max_weight`` (same admission
-    discipline as FennelConfig.inflow_cap_slack, and the same
-    per-target-partitioned window plan — no global sort).
+    target cluster are then admitted in (votes DESC, id ASC) order under
+    *first-fit-prefix* semantics: the running prefix weight (including any
+    already-rejected movers earlier in the order) must stay under
+    ``max_weight``, so one oversized mover blocks every later mover for
+    that target this round. This deliberately mirrors
+    FennelConfig.inflow_cap_slack's inflow-cap discipline (and reuses the
+    same per-target-partitioned window plan — no global sort); it
+    under-admits relative to a per-mover fit check but never violates the
+    cap, and blocked movers simply retry next round.
 
     ``exclude``: ids never switch and never receive members (their edges
     leave the vote join) — fixed vertices stay singleton supervertices.
@@ -496,8 +505,20 @@ def multilevel_partition(
         fixed=fixed_ids,
     )
 
+    # The coarse solve's result is a materialized leaf; the coarsest-level
+    # inputs are dead from here on. With a pyramid they are materialized
+    # states (release frees the checkpoint RDD); with no coarsening,
+    # cur_edges is still the initial persisted projection — unpersist it.
+    if pyramid:
+        release(cur_edges)
+        if cur_verts is not None:
+            release(cur_verts)
+    else:
+        cur_edges.unpersist()
+
     refine_cfg = replace(config, num_iterations=ml.refine_iterations)
     for vmap, lvl_edges, lvl_verts in reversed(pyramid):
+        prev_assign = assign
         projected = (
             vmap.join(
                 assign.withColumnRenamed("id", "super_id"), "super_id"
@@ -512,7 +533,12 @@ def multilevel_partition(
                 fixed=fixed_ids,
             )
         else:
-            assign = projected
+            # Materialize BEFORE releasing vmap: `projected` is a lazy
+            # join over vmap's checkpoint blocks — releasing first would
+            # free them under the returned frame
+            # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on its first action).
+            assign = materialize(projected)
+        release(prev_assign)
         release(vmap)
         release(lvl_edges)
         if lvl_verts is not None:
