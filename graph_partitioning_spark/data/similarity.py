@@ -27,6 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Above this many literal cells (candidate/centroid count × dims) the
+# quantizer switches from plan-literal centroid expressions to the
+# broadcast Arrow kernel: a literal matrix rides inside the logical plan
+# and is re-serialized/analyzed per query, which stops being viable around
+# k·dims ~ 10^5 (a 100 TB IVF wants k~10^4-10^5 × 128-1024 dims). The two
+# paths compute in the same fixed-point integer domain and are pinned
+# bit-identical by tests/test_data.py.
+LITERAL_CELL_BUDGET = 16_384
+
 
 def _cosine(a, b):
     """Cosine similarity of two array<double> columns, folded in index order."""
@@ -187,6 +196,171 @@ def _tdiv(s: int, n: int) -> int:
     return s // n if s >= 0 else -((-s) // n)
 
 
+def _cent_arrays(cents: list[tuple[int, list[int]]]):
+    """(cids int64[k], C int64[k×dims]) sorted by cid — the broadcast-side
+    twin of ``_dist_pairs``'s sorted literal matrix."""
+    import numpy as np
+
+    cents = sorted(cents, key=lambda t: int(t[0]))
+    cids = np.array([int(c) for c, _ in cents], dtype=np.int64)
+    C = np.array([[int(v) for v in vec] for _, vec in cents], dtype=np.int64)
+    return cids, C
+
+
+def _nearest_frame(
+    pts: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    literal_cell_budget: int = LITERAL_CELL_BUDGET,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cid, d2) of each point's nearest centroid(s) — path-gated.
+
+    ``pts`` must carry (id, xi: array<long>) in the fixed-point domain.
+    Below the budget (len(cents)·dims literal cells) this is the pure-JVM
+    ``_nearest`` expression — no shuffle, no Python, DuckDB-replayable.
+    Above it, the centroids travel as ONE NumPy int64 matrix in a Spark
+    broadcast variable and assignment is an Arrow ``mapInPandas`` kernel:
+    one ``X @ Cᵀ`` matmul per batch (d² = |x|² − 2x·c + |c|², exact in
+    int64 for fixed-point inputs), so the logical plan stays O(1) in
+    k·dims and driver-side analysis cost is flat. Both paths compute the
+    identical integer math with the identical (d2, cid) tie-break and are
+    pinned bit-identical by tests.
+
+    ``nprobe`` > 1 emits one row per (point, probed centroid) ranked by
+    (d2 asc, cid asc) — the multi-probe fan-out; every point still gets
+    exactly ``min(nprobe, k)`` rows.
+    """
+    dims = len(cents[0][1])
+    nprobe = min(nprobe, len(cents))
+    if len(cents) * dims <= literal_cell_budget:
+        if nprobe <= 1:
+            near = _nearest(cents, F.col("xi"))
+            return pts.select(
+                "id",
+                near.getField("cid").alias("cid"),
+                near.getField("d2").alias("d2"),
+            )
+        arr = F.slice(F.array_sort(_dist_pairs(cents, F.col("xi"))), 1, nprobe)
+        return pts.select("id", F.explode(arr).alias("p")).select(
+            "id", F.col("p.cid").alias("cid"), F.col("p.d2").alias("d2")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    cids, C = _cent_arrays(cents)
+    bc = pts.sparkSession.sparkContext.broadcast((cids, C))
+    np_ = nprobe
+
+    def kernel(batches):
+        bcids, bC = bc.value
+        cn = (bC * bC).sum(axis=1)  # |c|² per centroid, int64-exact
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xi"].to_numpy()).astype(np.int64, copy=False)
+            d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ bC.T) + cn[None, :]
+            if np_ <= 1:
+                # rows of C are cid-ascending, argmin takes the FIRST min —
+                # exactly the literal path's (d2, cid) struct-min tie-break
+                j = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "cid": bcids[j],
+                        "d2": d2[np.arange(len(j)), j],
+                    }
+                )
+            else:
+                # stable sort on d2: ties keep column (= cid) order, the
+                # same (d2 asc, cid asc) total order as array_sort(struct)
+                order = np.argsort(d2, axis=1, kind="stable")[:, :np_]
+                ids = np.repeat(pdf["id"].to_numpy(), np_)
+                rows = np.repeat(np.arange(len(pdf)), np_)
+                cols = order.reshape(-1)
+                yield pd.DataFrame(
+                    {"id": ids, "cid": bcids[cols], "d2": d2[rows, cols]}
+                )
+
+    id_type = dict(pts.dtypes)["id"]
+    return pts.select("id", "xi").mapInPandas(
+        kernel, schema=f"id {id_type}, cid long, d2 long"
+    )
+
+
+def _lloyd_sums(
+    pts: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    literal_cell_budget: int = LITERAL_CELL_BUDGET,
+) -> dict[int, list[int]]:
+    """One Lloyd update: {cid: truncated-integer-mean centroid} — path-gated.
+
+    Below the budget: the original per-dim ``F.sum`` aggregation (dims agg
+    columns — DuckDB-replayable, fine through a few hundred dims). Above:
+    the Arrow kernel assigns AND partially aggregates in one pass — each
+    partition emits at most k rows of (cid, n, ssum array<long>), the
+    MLlib-KMeans partial-sum shape, and the driver finishes the k-way
+    reduction on what it must hold anyway (the k×dims centroid matrix).
+    Shuffle volume is k·dims per partition, independent of row count.
+    """
+    dims = len(cents[0][1])
+    if len(cents) * dims <= literal_cell_budget:
+        near = _nearest(cents, F.col("xi"))
+        agg = (
+            pts.select(near.getField("cid").alias("cid"), "xi")
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(dims)],
+            )
+            .collect()
+        )
+        return {
+            int(r["cid"]): [_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dims)]
+            for r in agg
+        }
+
+    import numpy as np
+    import pandas as pd
+
+    cids, C = _cent_arrays(cents)
+    bc = pts.sparkSession.sparkContext.broadcast((cids, C))
+    k, d = C.shape
+
+    def kernel(batches):
+        bcids, bC = bc.value
+        cn = (bC * bC).sum(axis=1)
+        S = np.zeros((k, d), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xi"].to_numpy()).astype(np.int64, copy=False)
+            d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ bC.T) + cn[None, :]
+            j = d2.argmin(axis=1)
+            np.add.at(S, j, X)
+            n += np.bincount(j, minlength=k)
+        nz = np.flatnonzero(n)
+        if len(nz):
+            yield pd.DataFrame(
+                {"cid": bcids[nz], "n": n[nz], "ssum": list(S[nz])}
+            )
+
+    partials = pts.select("id", "xi").mapInPandas(
+        kernel, schema="cid long, n long, ssum array<long>"
+    ).collect()
+    S = {}
+    N = {}
+    for r in partials:
+        c = int(r["cid"])
+        N[c] = N.get(c, 0) + int(r["n"])
+        if c in S:
+            S[c] = [a + int(b) for a, b in zip(S[c], r["ssum"])]
+        else:
+            S[c] = [int(b) for b in r["ssum"]]
+    return {c: [_tdiv(s, N[c]) for s in S[c]] for c in S}
+
+
 def kmeans_quantizer(
     embeddings: DataFrame,
     k: int = 8,
@@ -196,6 +370,7 @@ def kmeans_quantizer(
     seed: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_cell_budget: int = LITERAL_CELL_BUDGET,
 ) -> list[tuple[int, list[int]]]:
     """Deterministic k-means|| coarse quantizer; returns [(cid, centroid)]
     with centroids in the fixed-point integer domain (``_scaled_ints``).
@@ -209,15 +384,24 @@ def kmeans_quantizer(
     ``lloyd_iters`` Lloyd refinements with truncated-integer-mean updates
     (empty clusters keep their previous centroid).
 
-    Scale shape: every step is one corpus scan — distances against ≤1+r·l
-    literal candidate arrays are codegen'd JVM expressions, the update is a
-    k-group aggregation with map-side combine — and the driver holds only
+    Scale shape: every step is one corpus scan and the driver holds only
     the k×dims integer centroids plus the expected (1 + init_rounds·l)
     sampled candidates, both bounded by construction (the sampler's
     selection probabilities sum to l per round). Per-dim int64 sums
     overflow only past ~10^15 unit-norm rows. Exactly replayable in
     portable SQL: the ann_kmeans DuckDB oracle re-runs init + Lloyd
     end-to-end and must match bit-for-bit.
+
+    Path gating (``literal_cell_budget``): while candidates·dims (and
+    k·dims) stay under the budget, distances are codegen'd JVM
+    expressions over one literal candidate matrix and the Lloyd update is
+    a k-group aggregation with map-side combine — the DuckDB-replayable
+    plan the gate query pins. Past the budget — a 100 TB IVF wants
+    k~10^4-10^5 × 128-1024 dims, where a plan literal and per-dim agg
+    columns stop being viable — :func:`_nearest_frame` /
+    :func:`_lloyd_sums` switch to the broadcast Arrow kernel, computing
+    the SAME integer math (pinned bit-identical by tests), so results are
+    independent of which path ran.
     """
     l = oversample if oversample is not None else 2 * k
     pts = embeddings.select(
@@ -227,27 +411,24 @@ def kmeans_quantizer(
         first = pts.orderBy("id").limit(1).collect()[0]
         cands = {int(first["id"]): [int(v) for v in first["xi"]]}
         for r in range(1, init_rounds + 1):
-            near = _nearest(sorted(cands.items()), F.col("xi"))
-            scored = pts.select("id", "xi", near.getField("d2").alias("d2"))
+            scored = _nearest_frame(
+                pts, sorted(cands.items()), literal_cell_budget
+            )
             tot = scored.agg(
                 F.sum(F.col("d2").cast("decimal(38,0)")).alias("t")
             ).first()["t"]
             tot = float(tot or 0)
             if tot <= 0:  # degenerate corpus (all points identical)
                 break
-            sel = (
-                scored.filter(
-                    _hash_uniform(F.col("id"), seed, r)
-                    < (F.lit(float(l)) * F.col("d2").cast("double")) / F.lit(tot)
-                )
-                .select("id", "xi")
-                .collect()
-            )
+            sel_ids = scored.filter(
+                _hash_uniform(F.col("id"), seed, r)
+                < (F.lit(float(l)) * F.col("d2").cast("double")) / F.lit(tot)
+            ).select("id")
+            sel = pts.join(F.broadcast(sel_ids), "id").select("id", "xi").collect()
             for row in sel:
                 cands[int(row["id"])] = [int(v) for v in row["xi"]]
-        near = _nearest(sorted(cands.items()), F.col("xi"))
         wrows = (
-            pts.select(near.getField("cid").alias("cid"))
+            _nearest_frame(pts, sorted(cands.items()), literal_cell_budget)
             .groupBy("cid")
             .agg(F.count("*").alias("w"))
             .collect()
@@ -256,24 +437,8 @@ def kmeans_quantizer(
             ((int(r["w"]), int(r["cid"])) for r in wrows), key=lambda t: (-t[0], t[1])
         )[:k]
         cents = [(i, cands[cid]) for i, (_, cid) in enumerate(ranked)]
-        dims = len(first["xi"])
         for _ in range(lloyd_iters):
-            near = _nearest(cents, F.col("xi"))
-            agg = (
-                pts.select(near.getField("cid").alias("cid"), "xi")
-                .groupBy("cid")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(dims)],
-                )
-                .collect()
-            )
-            got = {
-                int(r["cid"]): [
-                    _tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dims)
-                ]
-                for r in agg
-            }
+            got = _lloyd_sums(pts, cents, literal_cell_budget)
             cents = [(cid, got.get(cid, old)) for cid, old in cents]
     finally:
         pts.unpersist()
@@ -291,21 +456,28 @@ def ann_kmeans_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_cell_budget: int = LITERAL_CELL_BUDGET,
 ) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer (vs ``bucketed_topk``'s
     pre-existing label column, which a real pipeline doesn't have).
 
     Fits ``kmeans_quantizer`` on the corpus, assigns both sides their
-    nearest-centroid bucket with one codegen'd expression (no join), and
-    probes exactly like ``bucketed_topk`` — exact within the probed
-    buckets; recall is the quantizer-quality IVF trade (pinned by a
-    recall@k pytest on clustered data).
+    nearest-centroid bucket, and probes exactly like ``bucketed_topk`` —
+    exact within the probed buckets; recall is the quantizer-quality IVF
+    trade (pinned by a recall@k pytest on clustered data).
 
     ``nprobe``: the standard IVF recall knob — each query probes its
     ``nprobe`` nearest centroid buckets (the query frame fans out nprobe×,
     the corpus side is untouched, so candidate work scales linearly with
     nprobe and per-neighbor duplicates can't arise: every corpus row lives
     in exactly one bucket).
+
+    Bucket assignment is path-gated like the fit: under
+    ``literal_cell_budget`` it is one codegen'd expression per side (no
+    join, no Python — the gate-query plan); above, each side gets its
+    bucket from the broadcast Arrow kernel and joins it back on the id —
+    an id-hash co-partitioned equi-join, still zero cross-join, so the
+    whole search keeps working at k~10^4-10^5 × 1024 dims.
     """
     cents = kmeans_quantizer(
         embeddings,
@@ -315,18 +487,35 @@ def ann_kmeans_topk(
         seed=seed,
         id_col=id_col,
         vec_col=vec_col,
+        literal_cell_budget=literal_cell_budget,
     )
-    corpus_bucket = _nearest(cents, _scaled_ints(F.col(vec_col))).getField("cid")
-    emb = embeddings.withColumn("_kb", corpus_bucket)
-    if nprobe <= 1:
-        qs = queries.withColumn("_kb", corpus_bucket)
+    dims = len(cents[0][1])
+    if len(cents) * dims <= literal_cell_budget:
+        corpus_bucket = _nearest(cents, _scaled_ints(F.col(vec_col))).getField("cid")
+        emb = embeddings.withColumn("_kb", corpus_bucket)
+        if nprobe <= 1:
+            qs = queries.withColumn("_kb", corpus_bucket)
+        else:
+            # full (d2, cid) array sorted ascending, sliced to nprobe buckets
+            arr = F.array_sort(_dist_pairs(cents, _scaled_ints(F.col(vec_col))))
+            probes = F.transform(
+                F.slice(arr, 1, min(nprobe, len(cents))), lambda s: s.getField("cid")
+            )
+            qs = queries.withColumn("_kb", F.explode(probes))
     else:
-        # full (d2, cid) array sorted ascending, sliced to nprobe buckets
-        arr = F.array_sort(_dist_pairs(cents, _scaled_ints(F.col(vec_col))))
-        probes = F.transform(
-            F.slice(arr, 1, min(nprobe, len(cents))), lambda s: s.getField("cid")
-        )
-        qs = queries.withColumn("_kb", F.explode(probes))
+
+        def _assign(df: DataFrame, n_probe: int) -> DataFrame:
+            pts = df.select(
+                F.col(id_col).alias("id"), _scaled_ints(F.col(vec_col)).alias("xi")
+            )
+            buckets = (
+                _nearest_frame(pts, cents, literal_cell_budget, nprobe=n_probe)
+                .select(F.col("id").alias(id_col), F.col("cid").alias("_kb"))
+            )
+            return df.join(buckets, id_col)
+
+        emb = _assign(embeddings, 1)
+        qs = _assign(queries, nprobe)
     return bucketed_topk(
         emb,
         qs,

@@ -377,3 +377,144 @@ def test_ann_kmeans_recall_and_determinism(spark):
     }
     assert len(ex & ap2) >= len(ex & ap)
     assert ap_all == ex, "nprobe=k must reduce to exact brute force"
+
+
+def _clustered_rows(n_clusters, per, dims, seed=3, scale=0.05):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dims))
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.normal(scale=scale, size=dims)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_ann_broadcast_kernel_bit_identical_to_literal(spark):
+    """The size-gated broadcast Arrow kernel is not an approximation: on
+    the same fixed-point integer inputs it must produce the SAME quantizer
+    (bit-for-bit centroids — init sampling, candidate weighting, Lloyd
+    truncated means) and the SAME search rows as the plan-literal path,
+    including (d2, cid) tie-breaks and the nprobe>1 probe order. Forcing
+    literal_cell_budget=0 routes every step through the kernel."""
+    from graph_partitioning_spark.data import ann_kmeans_topk, kmeans_quantizer
+
+    emb = spark.createDataFrame(
+        _clustered_rows(8, 40, 16), "vec_id long, embedding array<float>"
+    ).persist()
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    lit = kmeans_quantizer(emb, k=8)
+    ker = kmeans_quantizer(emb, k=8, literal_cell_budget=0)
+    assert lit == ker, "broadcast-kernel quantizer diverged from literal path"
+    for nprobe in (1, 2, 4):
+        a = sorted(
+            tuple(r)
+            for r in ann_kmeans_topk(
+                emb, queries, top_k=5, k_clusters=8, nprobe=nprobe
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ann_kmeans_topk(
+                emb,
+                queries,
+                top_k=5,
+                k_clusters=8,
+                nprobe=nprobe,
+                literal_cell_budget=0,
+            ).collect()
+        )
+        assert a == b, f"search rows diverged at nprobe={nprobe}"
+    emb.unpersist()
+
+
+def test_ann_big_k_fit_wall_and_plan_size(spark):
+    """k=256 × dims=128 (k·dims = 32768 — double the literal-cell budget,
+    the regime where a plan-literal centroid matrix and per-dim Lloyd agg
+    columns stop being viable): the fit must auto-route to the broadcast
+    kernel, finish in bounded wall-clock, and the search plan must NOT
+    embed the centroid matrix (analyzed-plan size stays flat)."""
+    import time
+
+    from graph_partitioning_spark.data import ann_kmeans_topk, kmeans_quantizer
+    from graph_partitioning_spark.data.similarity import LITERAL_CELL_BUDGET
+
+    k, dims = 256, 128
+    assert k * dims > LITERAL_CELL_BUDGET
+    emb = spark.createDataFrame(
+        _clustered_rows(k, 24, dims, seed=7), "vec_id long, embedding array<float>"
+    ).persist()
+    emb.count()
+    t0 = time.time()
+    cents = kmeans_quantizer(emb, k=k, lloyd_iters=2, init_rounds=2)
+    fit_wall = time.time() - t0
+    assert len(cents) == k and len(cents[0][1]) == dims
+    # generous for a shared VM; the literal path at this size spent minutes
+    # in driver-side analysis alone before it was replaced
+    assert fit_wall < 240, f"big-k fit took {fit_wall:.0f}s"
+
+    queries = emb.filter(F.col("vec_id") % 512 == 0)
+    out = ann_kmeans_topk(
+        emb, queries, top_k=5, k_clusters=k, lloyd_iters=2, nprobe=2
+    )
+    plan_chars = len(out._jdf.queryExecution().analyzed().toString())
+    # a literal k×dims int matrix alone would serialize to >130k chars
+    assert plan_chars < 60_000, f"plan embeds the centroid matrix ({plan_chars} chars)"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {
+        r["vec_id"] for r in queries.select("vec_id").collect()
+    }
+    emb.unpersist()
+
+
+def test_ann_recall10_nprobe4_100k(spark):
+    """Recall@10 ≥ 0.95 at nprobe=4 on a 10^5-vector clustered corpus,
+    ground truth by NumPy brute force (float32-exact, the same cast the
+    engine applies). Runs entirely on the broadcast-kernel path
+    (literal_cell_budget=0) — the configuration a 100 TB IVF would use."""
+    import pandas as pd
+
+    from graph_partitioning_spark.data import ann_kmeans_topk
+
+    n_clusters, per, dims = 64, 1563, 32  # 100,032 vectors
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(n_clusters, dims))
+    reps = np.repeat(np.arange(n_clusters), per)
+    X = (centers[reps] + rng.normal(scale=0.25, size=(len(reps), dims))).astype(
+        np.float32
+    )
+    n = len(X)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)})
+    emb = spark.createDataFrame(pdf).persist()
+    emb.count()
+
+    q_ids = np.arange(0, n, n // 50)[:50]
+    queries = emb.filter(F.col("vec_id").isin([int(i) for i in q_ids]))
+
+    # NumPy ground truth in float64 from the float32 values (== _as_double)
+    X64 = X.astype(np.float64)
+    norms = np.linalg.norm(X64, axis=1)
+    truth = {}
+    for qi in q_ids:
+        cos = (X64 @ X64[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf  # self excluded
+        top = np.argsort(-cos, kind="stable")[:10]
+        truth[int(qi)] = set(int(t) for t in top)
+
+    got = ann_kmeans_topk(
+        emb,
+        queries,
+        top_k=10,
+        k_clusters=n_clusters,
+        lloyd_iters=2,
+        nprobe=4,
+        literal_cell_budget=0,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & by_q.get(q, set())) for q in truth)
+    recall = hits / (10 * len(truth))
+    assert recall >= 0.95, f"recall@10 at nprobe=4 is {recall:.3f}"
+    emb.unpersist()
