@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_partitioning_spark.data.dedup import MINHASH_PRIME, minhash_params
+from graph_partitioning_spark.data.embed import embed_text, embed_text_sql
 from graph_partitioning_spark.data import (
     brute_force_topk,
     bucketed_topk,
@@ -149,6 +150,56 @@ verts AS (SELECT DISTINCT src AS id FROM sym)
 """
 
 ASSIGN_EXPR = f"CAST(id % {K_PARTS} AS INT)"
+
+
+def _refine_cte(sweeps: int, k: int, slack: float) -> tuple[str, str]:
+    """CTE chain replaying ``multilevel.refine_boundary`` over sym/verts.
+
+    Per sweep: neighbor votes (weight≤0→1), FM gain = best external −
+    internal (ties to the smaller partition id), first-fit-prefix
+    admission per target in (gain DESC, id ASC) order against
+    (1+slack)·n/k. Vote sums are integer-valued doubles (co-purchase
+    weights are counts), exact at any summation order, and the capacity
+    literal is the repr of the Python float the engine computes — so the
+    replay is bit-exact. Returns (ctes, final_relation)."""
+    parts = [
+        f"a0 AS (SELECT id, CAST(id % {k} AS INT) AS p FROM verts)",
+        f"capv AS (SELECT {1.0 + slack!r} * COUNT(*) / {k} AS cap FROM verts)",
+    ]
+    for s in range(1, sweeps + 1):
+        prev = f"a{s - 1}"
+        parts.append(f"""v{s} AS (
+  SELECT s.src AS id, t.p AS q,
+         SUM(CASE WHEN s.weight <= 0 THEN 1.0 ELSE s.weight END) AS votes
+  FROM sym s JOIN {prev} t ON t.id = s.dst GROUP BY s.src, t.p)""")
+        parts.append(f"""int{s} AS (
+  SELECT a.id, a.p, COALESCE(v.votes, 0.0) AS int_w
+  FROM {prev} a LEFT JOIN v{s} v ON v.id = a.id AND v.q = a.p)""")
+        parts.append(f"""ext{s} AS (
+  SELECT id, q AS to_p, votes FROM (
+    SELECT v.id, v.q, v.votes,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY v.votes DESC, v.q ASC) AS rn
+    FROM v{s} v JOIN {prev} a ON a.id = v.id AND v.q <> a.p) z WHERE rn = 1)""")
+        parts.append(f"""mov{s} AS (
+  SELECT e.id, e.to_p, e.votes - i.int_w AS gain
+  FROM ext{s} e JOIN int{s} i ON i.id = e.id WHERE e.votes > i.int_w)""")
+        parts.append(
+            f"sz{s} AS (SELECT p AS to_p, CAST(COUNT(*) AS DOUBLE) AS size "
+            f"FROM {prev} GROUP BY p)"
+        )
+        parts.append(f"""adm{s} AS (
+  SELECT id, to_p FROM (
+    SELECT m.id, m.to_p,
+           COALESCE(s.size, 0.0)
+           + SUM(1.0) OVER (PARTITION BY m.to_p ORDER BY m.gain DESC, m.id ASC
+                            ROWS UNBOUNDED PRECEDING) AS c
+    FROM mov{s} m LEFT JOIN sz{s} s ON s.to_p = m.to_p) z
+  WHERE c <= (SELECT cap FROM capv))""")
+        parts.append(f"""a{s} AS (
+  SELECT a.id, CAST(COALESCE(m.to_p, a.p) AS INT) AS p
+  FROM {prev} a LEFT JOIN adm{s} m ON m.id = a.id)""")
+    return ",\n".join(parts), f"a{sweeps}"
 
 
 def _pagerank_cte(iters: int) -> str:
@@ -736,6 +787,20 @@ def _fennel_assign(spark, sf_dir, seed: int = 0):
 
 def q_fennel_partition(spark, sf_dir):
     return _fennel_assign(spark, sf_dir)
+
+
+def q_refine_level(spark, sf_dir):
+    """Boundary-vertex-only FM refinement (multilevel.refine_boundary —
+    the Karypis-Kumar §4 per-level sweep): from the id%k assignment, two
+    sweeps of vote-gain moves under first-fit-prefix balance admission.
+    The DuckDB twin replays votes, gains, tie-breaks, and the capacity
+    window bit-for-bit."""
+    from graph_partitioning_spark.partitioning import refine_boundary
+
+    e = copurchase_edges(spark, sf_dir)
+    init = _hash_assignments(spark, sf_dir)
+    out, _ = refine_boundary(e, init, k=K_PARTS, slack=0.1, sweeps=2)
+    return out
 
 
 def q_fennel_seeded(spark, sf_dir):
@@ -1468,19 +1533,27 @@ def _ann_kmeans_oracle(
     init_rounds: int = 2,
     lloyd_iters: int = 3,
     top_k: int = 5,
+    src: str = "embeddings",
+    pre: str = "",
 ) -> str:
     """DuckDB replay of ``kmeans_quantizer`` + bucketed top-k, unrolled.
 
     Works in the same floor(x·1000+0.5) integer domain as the Spark side,
     so distances and truncated means (`//`) are engine-independent; the
-    sampling uniform is the md5-prefix arithmetic both engines share."""
+    sampling uniform is the md5-prefix arithmetic both engines share.
+
+    ``src``: any relation with (vec_id, embedding) — the parquet table by
+    default, or a derived CTE (e.g. the hashed-text projection) declared
+    in ``pre`` and referenced here, so the same replay gates the
+    text→embedding→IVF pipeline end-to-end."""
+    head = f"WITH {pre},\n" if pre else "WITH "
     parts = [
-        """WITH pts AS (
+        f"""{head}pts AS (
   SELECT id, pos, CAST(FLOOR(CAST(val AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
   FROM (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
-               unnest(embedding) AS val FROM embeddings) raw
+               unnest(embedding) AS val FROM {src}) raw
 ),
-cand0 AS (SELECT (SELECT MIN(vec_id) FROM embeddings) AS cid)"""
+cand0 AS (SELECT (SELECT MIN(vec_id) FROM {src}) AS cid)"""
     ]
     for r in range(1, init_rounds + 1):
         parts.append(f""",
@@ -1541,7 +1614,7 @@ bkt AS (
     GROUP BY a.id, c.cid) z WHERE rn = 1
 ),
 emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM {src}),
 q AS (SELECT e.vec_id AS query_id, b.cid, e.v AS qv
       FROM emb e JOIN bkt b ON b.id = e.vec_id WHERE e.vec_id < 8),
 scored AS (
@@ -1566,28 +1639,64 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_topk(emb, queries, top_k=5)
 
 
-# embedding-cosine near-dup gate config: the synthetic embeddings are
-# near-random (max pairwise cosine ≈ 0.51 at sf0.01), so the gate threshold
-# sits in the distribution's tail rather than at a production 0.9; the
-# recall-on-true-near-dups semantics are pinned by tests/test_data.py on a
-# crafted duplicate fixture. bands=2 × 8 bits ⇒ ~2% candidate rate here.
-NEARDUP_THRESHOLD = 0.3
+# embedding-cosine near-dup gate config. Since round 5 this gate runs over
+# vectors DERIVED FROM THE CORPUS TEXT (embed_text's hashed-token
+# projection) rather than the synthetic embeddings parquet — the shape a
+# real near-dup pipeline has. Documents sharing most of their tokens land
+# near cosine 1; the 0.9 threshold keeps the production semantics. The
+# recall-on-true-near-dups behavior is pinned by tests/test_data.py.
+NEARDUP_THRESHOLD = 0.9
 NEARDUP_BITS = 16
 NEARDUP_BANDS = 2
-NEARDUP_DIMS = 64  # the driver testdata's embedding dims (all SFs)
+EMBED_GATE_DIMS = 32
+NEARDUP_DIMS = EMBED_GATE_DIMS  # hashed-projection dims (hyperplane width)
+
+
+def _embedded_docs(spark, sf_dir):
+    """(vec_id, embedding) derived from documents.text — the engine-side
+    twin of the ``embedded`` oracle CTE (embed.embed_text_sql)."""
+    return embed_text(
+        _read(spark, sf_dir, "documents"), dims=EMBED_GATE_DIMS
+    ).withColumnRenamed("doc_id", "vec_id")
 
 
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via banded sign-LSH
-    (similarity.cosine_near_dup_pairs): signature → band buckets →
+    (similarity.cosine_near_dup_pairs) over TEXT-DERIVED vectors:
+    documents → hashed-token projection → signature → band buckets →
     candidate equi-join → exact thresholded cosine. The DuckDB twin
-    replays the identical Weyl hyperplanes, band keys, and in-order
-    cosine fold."""
+    replays the embedding derivation bit-for-bit, then the identical
+    Weyl hyperplanes, band keys, and in-order cosine fold."""
     return cosine_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"),
+        _embedded_docs(spark, sf_dir),
         threshold=NEARDUP_THRESHOLD,
         bits=NEARDUP_BITS,
         bands=NEARDUP_BANDS,
+    )
+
+
+def q_embed_text(spark, sf_dir):
+    """Hashed-token random-projection text embeddings (embed.embed_text),
+    exploded to (doc_id, dim, value) scalars for hashing. Feature hashing
+    per Weinberger et al. ICML'09; every value must match the DuckDB
+    replay bit-for-bit (integer bucket sums, exact norm, one IEEE
+    division — no rounding tolerance)."""
+    emb = embed_text(_read(spark, sf_dir, "documents"), dims=EMBED_GATE_DIMS)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "value")
+
+
+def q_embed_kmeans(spark, sf_dir):
+    """The similarity stack end-to-end from corpus text: documents →
+    hashed-token projection → learned k-means|| IVF quantizer → bucketed
+    top-k. Same replay discipline as ann_kmeans, with the embedding
+    derivation spliced in as the vector source on both sides."""
+    from graph_partitioning_spark.data import ann_kmeans_topk
+
+    emb = _embedded_docs(spark, sf_dir)
+    return ann_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 8), top_k=5, k_clusters=8
     )
 
 
@@ -1804,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_nets": q_clique_nets,
         "hem_matching": q_hem_matching,
         "coarsen_level1": q_coarsen_level1,
+        "refine_level": q_refine_level,
         # -- arrival pipeline --
         "arrival_sim": q_arrival_sim,
         "arrival_sliding": q_arrival_sliding,
@@ -1828,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_bucketed": q_ann_bucketed,
         "ann_kmeans": q_ann_kmeans,
+        "embed_text": q_embed_text,
+        "embed_kmeans": q_embed_kmeans,
         "cosine_near_dup": q_cosine_near_dup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1863,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
     en_stop = _sql_list(_STOP["en"])
 
     hem_cte, hem_final = _hem_cte(4)
+    rfn_cte, rfn_final = _refine_cte(2, K_PARTS, 0.1)
     f_cte, f_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=0, p="f")
     g0_cte, g0_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=0, p="g0")
     g1_cte, g1_final = _fennel_cte(FENNEL_ITERS, FENNEL_BUCKETS, K_PARTS, seed=1, p="g1")
@@ -1915,8 +2028,10 @@ dh_src AS MATERIALIZED (
     nd_bpb = NEARDUP_BITS // NEARDUP_BANDS
     nd_mask = (1 << nd_bpb) - 1
     nd_bands_list = ", ".join(str(t) for t in range(NEARDUP_BANDS))
-    cosine_near_dup_sql = f"""WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    embed_ctes = embed_text_sql(dims=EMBED_GATE_DIMS)
+    cosine_near_dup_sql = f"""WITH {embed_ctes},
+emb AS (
+  SELECT doc_id AS vec_id, embedding AS v FROM embedded
 ),
 sig AS (
   SELECT vec_id,
@@ -1942,8 +2057,21 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}"""
 
     pm_cte, pm_final = _permanence_cte("pp", "edges", "sym", "l2")
 
+    embed_text_oracle = f"""WITH {embed_ctes}
+SELECT dense.doc_id, CAST(dense.b AS INT) AS dim,
+       CASE WHEN norms.nrm > 0 THEN CAST(dense.v AS DOUBLE) / norms.nrm
+            ELSE 0.0 END AS value
+FROM dense JOIN norms ON dense.doc_id = norms.doc_id"""
+
+    embed_kmeans_oracle = _ann_kmeans_oracle(
+        src="(SELECT doc_id AS vec_id, embedding FROM embedded)",
+        pre=embed_ctes,
+    )
+
     return {
         "cosine_near_dup": cosine_near_dup_sql,
+        "embed_text": embed_text_oracle,
+        "embed_kmeans": embed_kmeans_oracle,
         "permanence": f"""WITH {EDGES_CTE},
 {_lpa_cte(2)},
 {pm_cte}
@@ -2503,6 +2631,9 @@ FROM bip b JOIN w ws ON ws.id = b.src JOIN w wd ON wd.id = b.dst""",
         "hem_matching": f"""WITH {EDGES_CTE},
 {hem_cte}
 {hem_final}""",
+        "refine_level": f"""WITH {EDGES_CTE},
+{rfn_cte}
+SELECT id, p AS partition FROM {rfn_final}""",
         "coarsen_level1": f"""WITH {EDGES_CTE},
 {hem_cte},
 matched AS ({hem_final}),

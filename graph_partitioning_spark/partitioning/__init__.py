@@ -16,6 +16,7 @@ from .multilevel import (  # noqa: F401
     hem_matching,
     lpa_coarsen,
     multilevel_partition,
+    refine_boundary,
 )
 from .hypergraph import (  # noqa: F401
     hyperedge_weights,

@@ -52,7 +52,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..graph.edges import symmetrize
 from ..graph.iterutil import materialize, release
-from .fennel import FennelConfig, fennel_partition
+from .fennel import FennelConfig, _votes, fennel_partition
 
 
 @dataclass
@@ -71,6 +71,17 @@ class MultilevelConfig:
     #: FENNEL restream passes for the per-level refinement sweep (the
     #: coarsest level uses the wrapped config's own num_iterations)
     refine_iterations: int = 1
+    #: per-level refinement flavor: "restream" (warm-started FENNEL passes
+    #: over the whole level) or "boundary" (boundary-vertex-only FM gain
+    #: sweeps — the Karypis-Kumar §4 refinement role; touches only
+    #: vertices with cut edges, so per-level cost tracks the boundary
+    #: size, not the level size)
+    refine: str = "restream"
+    #: FM sweeps per level when refine="boundary"
+    boundary_sweeps: int = 2
+    #: balance slack for boundary-move admission: a target partition may
+    #: grow to (1+slack)·total_weight/k
+    boundary_slack: float = 0.1
     #: "hem" (pairwise heavy-edge handshake — mesh/community graphs) or
     #: "lpa" (size-constrained label-propagation clustering — the ParHIP
     #: scheme; use for power-law/web graphs, where pairwise matching
@@ -524,7 +535,19 @@ def multilevel_partition(
                 assign.withColumnRenamed("id", "super_id"), "super_id"
             ).select("id", "partition")
         )
-        if ml.refine_iterations > 0:
+        if ml.refine == "boundary" and ml.boundary_sweeps > 0:
+            # refine_boundary materializes the projection as its first
+            # step, so releasing vmap below never strands the result
+            assign, _ = refine_boundary(
+                lvl_edges,
+                projected,
+                config.num_partitions,
+                slack=ml.boundary_slack,
+                sweeps=ml.boundary_sweeps,
+                vertices=lvl_verts,
+                fixed=fixed_ids,
+            )
+        elif ml.refine == "restream" and ml.refine_iterations > 0:
             assign, _ = fennel_partition(
                 lvl_edges,
                 refine_cfg,
@@ -550,3 +573,142 @@ def multilevel_partition(
         "coarse": coarse_info,
     }
     return assign, info
+
+
+def refine_boundary(
+    edges: DataFrame,
+    assign: DataFrame,
+    k: int,
+    slack: float = 0.1,
+    sweeps: int = 2,
+    vertices: DataFrame | None = None,
+    fixed: DataFrame | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Boundary-vertex-only FM refinement sweeps (Karypis & Kumar §4).
+
+    The classic multilevel win comes from *local* refinement at each
+    uncoarsening level: only vertices on the cut boundary can improve the
+    edge-cut, so each sweep touches the boundary, not the graph. The
+    batch-synchronous sweep (all deterministic, no driver-side state):
+
+    1. neighbor-vote join (`fennel._votes`, weight≤0→1 — the J1 rule):
+       per (vertex, partition) incident vote mass; only vertices with ≥1
+       assigned neighbor appear, and only those with votes OUTSIDE their
+       own partition can have positive gain — the boundary set.
+    2. gain = best external vote mass − internal vote mass (the FM gain:
+       moving v from A to argmax-B changes the weighted cut by exactly
+       −gain). Ties on vote mass break to the smaller partition id.
+    3. balance-capped admission: movers are admitted per target partition
+       in (gain DESC, id ASC) order while the target's weight stays under
+       (1+slack)·total_weight/k — the same first-fit-prefix window
+       discipline as lpa_coarsen / FENNEL's inflow cap, one
+       per-target-partitioned window, no global sort.
+    4. apply admitted moves; stop early when a sweep admits nothing.
+
+    Every sweep is one vote shuffle + one window — O(m + boundary) —
+    versus a full restream pass's superstep loop over all micro-batches.
+    ``fixed`` ids never move. Returns (assignments, info) where
+    ``info['moves']`` lists admitted-move counts per sweep and
+    ``info['gain_admitted']`` the summed admitted gain.
+    """
+    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    w_col = (
+        vertices.select("id", F.col("weight").alias("_w"))
+        if vertices is not None
+        else None
+    )
+    if vertices is not None:
+        total_w = float(vertices.agg(F.sum("weight")).first()[0] or 0.0)
+    else:
+        total_w = float(
+            sym.select("src").distinct().count()
+        )
+    capacity = (1.0 + slack) * total_w / k
+
+    state = materialize(assign.select("id", "partition"))
+    moves: list[int] = []
+    gains: list[float] = []
+    for _ in range(sweeps):
+        votes = _votes(sym, state, salt_buckets=1)
+        cur = state.select("id", F.col("partition").alias("p"))
+        agg = (
+            votes.join(cur, "id")
+            .groupBy("id", "p")
+            .agg(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("partition") == F.col("p"), F.col("votes"))
+                    ),
+                    F.lit(0.0),
+                ).alias("int_w"),
+                F.max(
+                    F.when(
+                        F.col("partition") != F.col("p"),
+                        F.struct(
+                            F.col("votes").alias("w"),
+                            (-F.col("partition")).alias("np"),
+                        ),
+                    )
+                ).alias("best"),
+            )
+        )
+        movers = agg.filter(
+            F.col("best").isNotNull() & (F.col("best.w") > F.col("int_w"))
+        ).select(
+            "id",
+            F.col("p").alias("from_p"),
+            (-F.col("best.np")).cast("int").alias("to_p"),
+            (F.col("best.w") - F.col("int_w")).alias("gain"),
+        )
+        if fixed is not None:
+            movers = movers.join(fixed.select("id"), "id", "left_anti")
+        if w_col is not None:
+            movers = movers.join(w_col, "id", "left").select(
+                "id", "from_p", "to_p", "gain",
+                F.coalesce("_w", F.lit(1.0)).alias("w"),
+            )
+            sizes = (
+                cur.join(w_col, "id", "left")
+                .groupBy(F.col("p").alias("to_p"))
+                .agg(F.sum(F.coalesce("_w", F.lit(1.0))).alias("size"))
+            )
+        else:
+            movers = movers.withColumn("w", F.lit(1.0))
+            sizes = cur.groupBy(F.col("p").alias("to_p")).agg(
+                F.count("*").cast("double").alias("size")
+            )
+        wdw = (
+            Window.partitionBy("to_p")
+            .orderBy(F.desc("gain"), F.asc("id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        admitted = (
+            movers.join(sizes, "to_p", "left")
+            .withColumn(
+                "_ok",
+                F.coalesce("size", F.lit(0.0)) + F.sum("w").over(wdw)
+                <= F.lit(float(capacity)),
+            )
+            .filter(F.col("_ok"))
+            .select("id", "to_p", "gain")
+        )
+        new_state = (
+            state.join(admitted.select("id", "to_p"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("to_p", "partition").cast("int").alias("partition"),
+            )
+        )
+        prev = state
+        state = materialize(new_state)
+        stats = admitted.agg(
+            F.count("*").alias("n"), F.sum("gain").alias("g")
+        ).first()
+        release(prev)
+        n_moved = int(stats["n"] or 0)
+        moves.append(n_moved)
+        gains.append(float(stats["g"] or 0.0))
+        if n_moved == 0:
+            break
+    sym.unpersist()
+    return state, {"moves": moves, "gain_admitted": sum(gains)}

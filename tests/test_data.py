@@ -518,3 +518,34 @@ def test_ann_recall10_nprobe4_100k(spark):
     recall = hits / (10 * len(truth))
     assert recall >= 0.95, f"recall@10 at nprobe=4 is {recall:.3f}"
     emb.unpersist()
+
+
+def test_embed_text_hashed_projection(spark, docs):
+    """Feature-hashed text embeddings: unit norm (or exact zero), exact
+    duplicates embed identically, near-duplicate documents score far above
+    unrelated ones, and the output is deterministic (pure function of the
+    text — bit-parity with the DuckDB replay is the embed_text gate)."""
+    from graph_partitioning_spark.data.embed import embed_text
+
+    emb = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in embed_text(docs, dims=32).collect()
+    }
+    assert len(emb) == len(DOCS)
+    for d, v in emb.items():
+        n = np.linalg.norm(v)
+        assert abs(n - 1.0) < 1e-9 or n == 0.0, f"doc {d} norm {n}"
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b])
+
+    assert (emb[0] == emb[1]).all(), "exact duplicates must embed identically"
+    # near-dups of doc 0 (one word changed/appended) vs unrelated doc 3
+    assert cos(0, 2) > cos(0, 3)
+    assert cos(0, 6) > cos(0, 3)
+    assert cos(0, 2) > 0.8
+    again = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in embed_text(docs, dims=32).collect()
+    }
+    assert all((emb[d] == again[d]).all() for d in emb)

@@ -282,3 +282,120 @@ def test_multilevel_degenerates_to_fennel_when_no_coarsening(spark):
     assert info["levels"] == []
     exp, _ = fennel_partition(edges, cfg)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
+
+
+def _np_refine_boundary(src, dst, w, assign, k, slack=0.1, sweeps=2, fixed=()):
+    """Exact sequential oracle for refine_boundary: vote masses, FM gains
+    (ties to the smaller partition id), first-fit-prefix admission per
+    target in (gain desc, id asc) order against (1+slack)*total/k."""
+    adj = {}
+    ids = set()
+    for s, d, ww in zip(src, dst, w):
+        eff = 1.0 if ww <= 0 else float(ww)
+        adj.setdefault(s, {})[d] = adj.get(s, {}).get(d, 0.0) + eff
+        adj.setdefault(d, {})[s] = adj.get(d, {}).get(s, 0.0) + eff
+        ids.update((s, d))
+    assign = dict(assign)
+    total = float(len(ids))
+    cap = (1.0 + slack) * total / k
+    for _ in range(sweeps):
+        movers = []
+        for v in sorted(ids):
+            if v in fixed:
+                continue
+            votes = {}
+            for u, ww in adj[v].items():
+                q = assign[u]
+                votes[q] = votes.get(q, 0.0) + ww
+            p = assign[v]
+            int_w = votes.get(p, 0.0)
+            ext = [(ww, -q) for q, ww in votes.items() if q != p]
+            if not ext:
+                continue
+            best_w, nq = max(ext)
+            if best_w > int_w:
+                movers.append((v, -nq, best_w - int_w))
+        sizes = {}
+        for v in ids:
+            sizes[assign[v]] = sizes.get(assign[v], 0.0) + 1.0
+        admitted = []
+        by_t = {}
+        for m in movers:
+            by_t.setdefault(m[1], []).append(m)
+        for t, ms in by_t.items():
+            ms.sort(key=lambda m: (-m[2], m[0]))
+            c = sizes.get(t, 0.0)
+            for m in ms:
+                c += 1.0  # first-fit-prefix: rejected movers still count
+                if c <= cap:
+                    admitted.append(m)
+        if not admitted:
+            break
+        for v, t, _ in admitted:
+            assign[v] = t
+    return assign
+
+
+def test_refine_boundary_matches_numpy_oracle(spark):
+    from graph_partitioning_spark.partitioning import refine_boundary
+
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    init = {int(v): int(v) % 3 for v in set(src) | set(dst)}
+    assign = spark.createDataFrame(
+        [(v, p) for v, p in init.items()], "id long, partition int"
+    )
+    got_df, info = refine_boundary(edges, assign, k=3, slack=0.1, sweeps=2)
+    got = {r["id"]: r["partition"] for r in got_df.collect()}
+    want = _np_refine_boundary(src, dst, w, init, k=3, slack=0.1, sweeps=2)
+    assert got == want
+    assert sum(info["moves"]) > 0  # id%3 on a planted graph must move
+    # gains are real: the cut strictly improves
+    before = cut_metrics(edges, assign)["cut_ratio"]
+    after = cut_metrics(edges, got_df)["cut_ratio"]
+    assert after < before
+
+
+def test_refine_boundary_respects_fixed_and_balance(spark):
+    from graph_partitioning_spark.partitioning import refine_boundary
+    from graph_partitioning_spark.partitioning.metrics import waste
+
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    init = {int(v): int(v) % 3 for v in set(src) | set(dst)}
+    assign = spark.createDataFrame(
+        [(v, p) for v, p in init.items()], "id long, partition int"
+    )
+    pins = [5, 70, 130]
+    fixed = spark.createDataFrame([(v,) for v in pins], "id long")
+    got_df, _ = refine_boundary(
+        edges, assign, k=3, slack=0.1, sweeps=3, fixed=fixed
+    )
+    got = {r["id"]: r["partition"] for r in got_df.collect()}
+    for v in pins:
+        assert got[v] == init[v], f"fixed vertex {v} moved"
+    want = _np_refine_boundary(
+        src, dst, w, init, k=3, slack=0.1, sweeps=3, fixed=set(pins)
+    )
+    assert got == want
+    # no partition exceeds (1+slack)*n/k
+    counts = {}
+    for p in got.values():
+        counts[p] = counts.get(p, 0) + 1
+    assert max(counts.values()) <= (1.1 * 180 / 3)
+
+
+def test_multilevel_boundary_refine_end_to_end(spark):
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=4, micro_batches=6)
+    ml = MultilevelConfig(
+        coarsen_to=40, max_levels=4, refine="boundary", boundary_sweeps=2
+    )
+    result, info = multilevel_partition(edges, cfg, ml)
+    rows = result.collect()
+    assert len(rows) == 180
+    assert len(info["levels"]) >= 1
+    cm = cut_metrics(edges, result)
+    one_shot, _ = fennel_partition(edges, cfg)
+    assert cm["cut_ratio"] <= cut_metrics(edges, one_shot)["cut_ratio"] + 0.05
