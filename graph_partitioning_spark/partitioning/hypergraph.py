@@ -231,3 +231,163 @@ def patoh_arrays(
             if 0 <= r["id"] < n_vertices:
                 cwghts[r["id"]] = int(r["weight"])
     return xpins, np.asarray(pins, dtype=np.int64), cwghts, nwghts
+
+
+def clique_pins(cliques: DataFrame) -> DataFrame:
+    """``(net: long, pin: long)`` — flatten cliques to hypergraph pins.
+
+    The net id is the xxhash64 of the sorted member list: deterministic
+    (stable across runs/partitionings, unlike monotonically_increasing_id)
+    and collision-safe at gate scale; maximal cliques are distinct sets so
+    the key is unique with overwhelming probability.
+    """
+    return cliques.select(
+        F.xxhash64(F.concat_ws(",", F.transform(F.array_sort("members"),
+                                                lambda m: m.cast("string"))))
+        .alias("net"),
+        F.explode("members").alias("pin"),
+    )
+
+
+def hypergraph_tcv(pins: DataFrame, assignments: DataFrame) -> float:
+    """Connectivity-1 objective: Σ_nets (λ(net) − 1), λ = number of
+    distinct partitions among the net's pins — PaToH's PATOH_CONPART
+    objective (reference patoh.py:49-146 selects min-TCV solutions)."""
+    j = pins.join(
+        assignments.select(F.col("id").alias("pin"), "partition"), "pin"
+    )
+    lam = j.groupBy("net").agg(F.count_distinct("partition").alias("lam"))
+    row = lam.agg(F.sum(F.col("lam") - 1).alias("t")).first()
+    return float(row["t"] or 0.0)
+
+
+def refine_tcv(
+    pins: DataFrame,
+    assign: DataFrame,
+    k: int,
+    slack: float = 0.1,
+    sweeps: int = 2,
+    vertices: DataFrame | None = None,
+    fixed: DataFrame | None = None,
+) -> tuple[DataFrame, "dict[str, Any]"]:
+    """Connectivity-objective (λ−1) local move sweeps over a hypergraph —
+    the in-engine answer to the PaToH role's OPTIMIZATION step (the
+    best-of-N harness only *selects* by min TCV; this pass *improves* it).
+
+    Exact move gain, derived per net containing v (move v: A→B):
+    the net drops A from its span iff v is its only A-pin, and adds B iff
+    it has no B-pin, so
+
+        ΔTCV(v→B) = #nets∋v with no B-pin − #nets∋v where v is the sole A-pin
+        gain(v→B) = only_A(v) + presence_B(v) − nets(v)   (= −ΔTCV)
+
+    where presence_B(v) = #nets∋v with ≥1 B-pin. Everything is two
+    grouped aggregations (net×partition pin counts, then per-vertex
+    presence) plus joins — no per-net Python. Best target per vertex by
+    (gain DESC, partition ASC); moves admitted per target in (gain DESC,
+    id ASC) first-fit-prefix order while the target's weight stays under
+    (1+slack)·total/k — the same admission discipline as
+    multilevel.refine_boundary, pinned by the same style of sequential
+    oracle in tests. Early-stops on a sweep with zero admitted moves.
+    """
+    from pyspark.sql import Window
+    from ..graph.iterutil import materialize, release
+
+    pins = pins.persist()
+    w_col = (
+        vertices.select("id", F.col("weight").alias("_w"))
+        if vertices is not None
+        else None
+    )
+    if vertices is not None:
+        total_w = float(vertices.agg(F.sum("weight")).first()[0] or 0.0)
+    else:
+        total_w = float(assign.count())
+    capacity = (1.0 + slack) * total_w / k
+
+    state = materialize(assign.select("id", "partition"))
+    moves: list[int] = []
+    for _ in range(sweeps):
+        a_pin = state.select(F.col("id").alias("pin"), "partition")
+        pj = pins.join(a_pin, "pin")
+        pincnt = pj.groupBy("net", "partition").agg(F.count("*").alias("c"))
+        nets_v = pins.groupBy("pin").agg(F.count("*").alias("nv"))
+        presence = (
+            pins.join(pincnt.withColumnRenamed("partition", "q"), "net")
+            .groupBy("pin", "q")
+            .agg(F.count("*").alias("pres"))
+        )
+        only_a = (
+            pj.join(pincnt, ["net", "partition"])
+            .filter(F.col("c") == 1)
+            .groupBy("pin")
+            .agg(F.count("*").alias("oa"))
+        )
+        cand = (
+            presence.join(a_pin, "pin")
+            .filter(F.col("q") != F.col("partition"))
+            .join(nets_v, "pin")
+            .join(only_a, "pin", "left")
+            .select(
+                F.col("pin").alias("id"),
+                F.col("partition").alias("from_p"),
+                F.col("q").alias("to_p"),
+                (
+                    F.coalesce("oa", F.lit(0)) + F.col("pres") - F.col("nv")
+                ).cast("double").alias("gain"),
+            )
+        )
+        best = cand.groupBy("id", "from_p").agg(
+            F.max(
+                F.struct(F.col("gain"), (-F.col("to_p")).alias("np"))
+            ).alias("b")
+        )
+        movers = best.filter(F.col("b.gain") > 0).select(
+            "id",
+            "from_p",
+            (-F.col("b.np")).cast("int").alias("to_p"),
+            F.col("b.gain").alias("gain"),
+        )
+        if fixed is not None:
+            movers = movers.join(fixed.select("id"), "id", "left_anti")
+        if w_col is not None:
+            movers = movers.join(w_col, "id", "left").select(
+                "id", "to_p", "gain", F.coalesce("_w", F.lit(1.0)).alias("w")
+            )
+            sizes = (
+                state.join(w_col, "id", "left")
+                .groupBy(F.col("partition").alias("to_p"))
+                .agg(F.sum(F.coalesce("_w", F.lit(1.0))).alias("size"))
+            )
+        else:
+            movers = movers.select("id", "to_p", "gain", F.lit(1.0).alias("w"))
+            sizes = state.groupBy(F.col("partition").alias("to_p")).agg(
+                F.count("*").cast("double").alias("size")
+            )
+        wdw = (
+            Window.partitionBy("to_p")
+            .orderBy(F.desc("gain"), F.asc("id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        admitted = (
+            movers.join(sizes, "to_p", "left")
+            .withColumn(
+                "_ok",
+                F.coalesce("size", F.lit(0.0)) + F.sum("w").over(wdw)
+                <= F.lit(float(capacity)),
+            )
+            .filter(F.col("_ok"))
+            .select("id", "to_p")
+        )
+        new_state = state.join(admitted, "id", "left").select(
+            "id", F.coalesce("to_p", "partition").cast("int").alias("partition")
+        )
+        prev = state
+        state = materialize(new_state)
+        n_moved = admitted.count()
+        release(prev)
+        moves.append(int(n_moved))
+        if n_moved == 0:
+            break
+    pins.unpersist()
+    return state, {"moves": moves}

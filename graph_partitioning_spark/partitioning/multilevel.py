@@ -50,9 +50,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..checkpoint import CheckpointManager, Counters
 from ..graph.edges import symmetrize
 from ..graph.iterutil import materialize, release
-from .fennel import FennelConfig, _votes, fennel_partition
+from .fennel import FennelConfig, _votes, fennel_partition, modular_initial
 
 
 @dataclass
@@ -71,14 +72,19 @@ class MultilevelConfig:
     #: FENNEL restream passes for the per-level refinement sweep (the
     #: coarsest level uses the wrapped config's own num_iterations)
     refine_iterations: int = 1
-    #: per-level refinement flavor: "restream" (warm-started FENNEL passes
-    #: over the whole level) or "boundary" (boundary-vertex-only FM gain
-    #: sweeps — the Karypis-Kumar §4 refinement role; touches only
+    #: per-level refinement flavor: "boundary" (boundary-vertex-only FM
+    #: gain sweeps — the Karypis-Kumar §4 refinement role; touches only
     #: vertices with cut edges, so per-level cost tracks the boundary
-    #: size, not the level size)
-    refine: str = "restream"
-    #: FM sweeps per level when refine="boundary"
-    boundary_sweeps: int = 2
+    #: size, not the level size) or "restream" (warm-started FENNEL passes
+    #: over the whole level — the round-4 default). Boundary is the
+    #: measured winner on BOTH graph families (BENCH.md round 5: planted
+    #: 0.294 vs restream-refine 0.588; community-free web 0.651 vs 0.706,
+    #: also beating 2-pass seeded restream's 0.665), hence the default.
+    refine: str = "boundary"
+    #: FM sweeps per level when refine="boundary" (early-stops on a sweep
+    #: with zero admitted moves; the planted/web sweep curves plateau by
+    #: ~6, BENCH.md round 5)
+    boundary_sweeps: int = 6
     #: balance slack for boundary-move admission: a target partition may
     #: grow to (1+slack)·total_weight/k
     boundary_slack: float = 0.1
@@ -411,6 +417,8 @@ def multilevel_partition(
     config: FennelConfig,
     ml: MultilevelConfig | None = None,
     fixed_assignments: DataFrame | None = None,
+    checkpointer: CheckpointManager | None = None,
+    resume: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Multilevel FENNEL: coarsen, partition the coarse graph, refine up.
 
@@ -432,20 +440,102 @@ def multilevel_partition(
     Returns ``(assignments(id, partition), info)``; ``info['levels']``
     records the pyramid (n, matched per round) and ``info['coarse']`` the
     coarse-level FENNEL info.
+
+    ``checkpointer``: optional :class:`CheckpointManager` — the run saves
+    a durable milestone after every coarsening level (current coarse
+    graph + all vertex maps), after the coarse solve, and after every
+    uncoarsening refinement (assignment + the vertex maps still below
+    it). A killed run re-invoked with the same manager CONTINUES from the
+    newest milestone: the expensive phases (matching/LPA rounds, the
+    coarse solve, refinement sweeps) are never recomputed — only the
+    cheap contract_map join/agg chain is replayed to rebuild the level
+    edges from the caller's input. The pipeline is deterministic, so a
+    resumed run's final assignments are bit-identical to an uninterrupted
+    one (pinned by tests/test_resume.py). Config must match the
+    checkpoint (k / coarsener / refine) — mismatches raise.
     """
     ml = ml or MultilevelConfig()
+    spark = edges.sparkSession
     cur_edges = edges.select("src", "dst", "weight").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cur_verts: DataFrame | None = None
-    n = (
-        symmetrize(cur_edges).select("src").distinct().count()
-    )
     pyramid: list[tuple[DataFrame, DataFrame, DataFrame | None]] = []
     level_stats: list[dict[str, Any]] = []
+    assign: DataFrame | None = None
+    coarse_info: dict[str, Any] = {}
+    coarse_n: int | None = None
+    resumed_phase: str | None = None
+
+    def _save(step: int, states: dict[str, DataFrame], phase: str, **extra):
+        if checkpointer is None:
+            return
+        params = {
+            "algorithm": "multilevel",
+            "k": config.num_partitions,
+            "coarsener": ml.coarsener,
+            "refine": ml.refine,
+            "levels": level_stats,
+            "phase": phase,
+        }
+        params.update(extra)
+        checkpointer.save(step, states, Counters(), params=params)
+
+    mf = None
+    if checkpointer is not None and resume:
+        mf = checkpointer.latest_manifest()
+        if mf is not None and mf.get("params", {}).get("algorithm") != "multilevel":
+            mf = None
+    if mf is not None:
+        params = mf["params"]
+        for pname, want in (
+            ("k", config.num_partitions),
+            ("coarsener", ml.coarsener),
+            ("refine", ml.refine),
+        ):
+            have = params.get(pname)
+            if have is not None and have != want:
+                raise ValueError(
+                    f"checkpoint was written with {pname}={have!r} but the "
+                    f"resume config has {pname}={want!r}"
+                )
+        states = checkpointer.load_states(spark, mf)
+        level_stats = [dict(d) for d in params.get("levels", [])]
+        resumed_phase = params["phase"]
+        n_vmaps = int(params.get("n_vmaps", 0))
+        # Rebuild the pyramid from the saved vertex maps: matchings / LPA
+        # rounds (the expensive coarsening work) are never recomputed;
+        # each level's edges come back via the cheap contract_map
+        # join/agg chain from the caller's input edges.
+        lvl_e: DataFrame = cur_edges
+        lvl_v: DataFrame | None = None
+        for i in range(n_vmaps):
+            vm = materialize(states[f"vmap_{i}"])
+            pyramid.append((vm, lvl_e, lvl_v))
+            if i + 1 < n_vmaps or resumed_phase == "coarsen":
+                ce, cv = contract_map(lvl_e, vm, lvl_v)
+                lvl_e, lvl_v = materialize(ce), materialize(cv)
+        if resumed_phase == "coarsen":
+            # prefer the saved coarse graph over the rebuilt chain's tail
+            if n_vmaps:
+                release(lvl_e)
+                if lvl_v is not None:
+                    release(lvl_v)
+            cur_edges = materialize(states["cur_edges"])
+            cur_verts = (
+                materialize(states["cur_verts"]) if "cur_verts" in states else None
+            )
+            n = int(params["n_remaining"])
+        else:  # "coarse_solved" or "uncoarsen"
+            assign = materialize(states["assignments"])
+            coarse_info = {"resumed": True}
+            coarse_n = params.get("coarse_n")
+            n = int(coarse_n or 0)
+    else:
+        n = symmetrize(cur_edges).select("src").distinct().count()
 
     total_w: float | None = None
-    while n > ml.coarsen_to and len(pyramid) < ml.max_levels:
+    while assign is None and n > ml.coarsen_to and len(pyramid) < ml.max_levels:
         if ml.coarsener == "lpa":
             if total_w is None:
                 if cur_verts is not None:
@@ -504,31 +594,79 @@ def multilevel_partition(
                 release(c)
         cur_edges, cur_verts = coarse_edges, coarse_verts
         n -= matched
+        _save(
+            len(pyramid),
+            {
+                "cur_edges": cur_edges,
+                "cur_verts": cur_verts,
+                **{f"vmap_{i}": pyramid[i][0] for i in range(len(pyramid))},
+            },
+            "coarsen",
+            n_vmaps=len(pyramid),
+            n_remaining=n,
+        )
 
     fixed_ids = (
         fixed_assignments.select("id") if fixed_assignments is not None else None
     )
-    assign, coarse_info = fennel_partition(
-        cur_edges,
-        config,
-        vertices=cur_verts,
-        initial=fixed_assignments,
-        fixed=fixed_ids,
-    )
-
-    # The coarse solve's result is a materialized leaf; the coarsest-level
-    # inputs are dead from here on. With a pyramid they are materialized
-    # states (release frees the checkpoint RDD); with no coarsening,
-    # cur_edges is still the initial persisted projection — unpersist it.
-    if pyramid:
-        release(cur_edges)
+    solved_here = assign is None
+    # Seed the coarse solve with the balanced modular cold start
+    # (modular_initial's docstring: the batch-synchronous relaxation herds
+    # from an UNASSIGNED start because first assignments bypass the inflow
+    # cap — on the weighted coarse graph the rolled-up vote masses dwarf
+    # α·size and one hub partition swallowed 57% of the graph, measured at
+    # 200k pages / waste 3.69 projected). Seeded, every change is a capped
+    # *move* and balance holds through projection. Fixed vertices override
+    # their seed rows and stay frozen via ``fixed=``.
+    if solved_here:
         if cur_verts is not None:
-            release(cur_verts)
-    else:
-        cur_edges.unpersist()
+            coarse_ids = cur_verts.select("id")
+        else:
+            coarse_ids = symmetrize(cur_edges).select(
+                F.col("src").alias("id")
+            ).distinct()
+        seed = modular_initial(coarse_ids, config.num_partitions)
+        if fixed_assignments is not None:
+            seed = seed.join(
+                fixed_assignments.select("id"), "id", "left_anti"
+            ).unionByName(fixed_assignments.select("id", "partition"))
+        assign, coarse_info = fennel_partition(
+            cur_edges,
+            config,
+            vertices=cur_verts,
+            initial=seed,
+            fixed=fixed_ids,
+        )
+        coarse_n = n
+        _save(
+            1000,
+            {
+                "assignments": assign,
+                **{f"vmap_{i}": pyramid[i][0] for i in range(len(pyramid))},
+            },
+            "coarse_solved",
+            n_vmaps=len(pyramid),
+            coarse_n=coarse_n,
+        )
+
+        # The coarse solve's result is a materialized leaf; the
+        # coarsest-level inputs are dead from here on. With a pyramid they
+        # are materialized states (release frees the checkpoint RDD); with
+        # no coarsening, cur_edges is still the initial persisted
+        # projection — unpersist it.
+        if pyramid:
+            release(cur_edges)
+            if cur_verts is not None:
+                release(cur_verts)
+        else:
+            cur_edges.unpersist()
+
+    if not solved_here and not pyramid:
+        cur_edges.unpersist()  # resumed past the solve with no levels left
 
     refine_cfg = replace(config, num_iterations=ml.refine_iterations)
-    for vmap, lvl_edges, lvl_verts in reversed(pyramid):
+    for j in range(len(pyramid) - 1, -1, -1):
+        vmap, lvl_edges, lvl_verts = pyramid[j]
         prev_assign = assign
         projected = (
             vmap.join(
@@ -566,12 +704,25 @@ def multilevel_partition(
         release(lvl_edges)
         if lvl_verts is not None:
             release(lvl_verts)
+        if j > 0:
+            _save(
+                1000 + (len(level_stats) - j),
+                {
+                    "assignments": assign,
+                    **{f"vmap_{i}": pyramid[i][0] for i in range(j)},
+                },
+                "uncoarsen",
+                n_vmaps=j,
+                coarse_n=coarse_n,
+            )
 
     info = {
         "levels": level_stats,
-        "coarse_n": n,
+        "coarse_n": coarse_n if coarse_n is not None else n,
         "coarse": coarse_info,
     }
+    if resumed_phase is not None:
+        info["resumed_from"] = resumed_phase
     return assign, info
 
 

@@ -189,3 +189,50 @@ def synthetic_edges(
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
     )
+
+
+def planted_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    communities: int = 64,
+    intra: int = 8,
+    inter: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Directed edge table of a planted-partition graph, generated entirely
+    JVM-side — ``communities`` contiguous vertex blocks, ``intra``
+    hash-pseudorandom targets inside the block and ``inter`` anywhere, per
+    vertex. The ground-truth community of vertex v is v // block_size.
+
+    The quality benchmark for partitioners that exploit community
+    structure (the multilevel F6 role): a good k-way cut aligns with the
+    blocks, so cut ratio has real headroom, unlike the community-free
+    preferential-attachment web graph where every partitioner converges
+    to a similar cut. Deterministic (xxhash64 targets), one generator
+    stage, no Python row path.
+    """
+    if num_partitions is None:
+        num_partitions = max(8, min(512, n_vertices // 100_000 + 8))
+    block = max(1, n_vertices // communities)
+    df = spark.range(0, n_vertices, 1, num_partitions).withColumnRenamed(
+        "id", "src"
+    )
+    v = F.col("src")
+    base = (v - F.pmod(v, F.lit(block)))  # block start (last block absorbs tail)
+    base = F.when(base >= (communities - 1) * block, F.lit((communities - 1) * block)).otherwise(base)
+    blk_len = F.when(
+        base == (communities - 1) * block,
+        F.lit(n_vertices - (communities - 1) * block),
+    ).otherwise(F.lit(block))
+    targets = []
+    for j in range(1, intra + 1):
+        t = base + F.pmod(F.xxhash64(v, F.lit(j)), blk_len)
+        targets.append(t)
+    for j in range(1, inter + 1):
+        targets.append(F.pmod(F.xxhash64(v, F.lit(1000 + j)), F.lit(n_vertices)))
+    arr = F.array_distinct(F.array(*targets))
+    return (
+        df.select("src", F.explode(arr).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )

@@ -142,3 +142,109 @@ def test_patoh_arrays_export(spark):
     assert list(pins) == [0, 1, 2, 2, 3]
     assert list(cwghts) == [1, 1, 1, 1]
     assert list(nwghts) == [3, 2]
+
+
+def _np_refine_tcv(nets, assign, k, slack=0.1, sweeps=2):
+    """Exact sequential oracle for refine_tcv: per-net connectivity deltas,
+    gain = only_A + presence_B − nets(v), ties to the smaller partition,
+    first-fit-prefix admission per target against (1+slack)·n/k."""
+    assign = dict(assign)
+    total = float(len(assign))
+    cap = (1.0 + slack) * total / k
+    for _ in range(sweeps):
+        movers = []
+        for v in sorted(assign):
+            vnets = [net for net in nets if v in net]
+            if not vnets:
+                continue
+            A = assign[v]
+            oa = sum(
+                1 for net in vnets
+                if sum(1 for u in net if assign[u] == A) == 1
+            )
+            nv = len(vnets)
+            best = None
+            for B in range(k):
+                if B == A:
+                    continue
+                pres = sum(
+                    1 for net in vnets
+                    if any(u != v and assign[u] == B for u in net)
+                )
+                g = oa + pres - nv
+                key = (g, -B)
+                if best is None or key > best[0]:
+                    best = (key, B, g)
+            if best is not None and best[2] > 0:
+                movers.append((v, best[1], float(best[2])))
+        sizes = {}
+        for p in assign.values():
+            sizes[p] = sizes.get(p, 0.0) + 1.0
+        admitted = []
+        by_t = {}
+        for m in movers:
+            by_t.setdefault(m[1], []).append(m)
+        for t, ms in by_t.items():
+            ms.sort(key=lambda m: (-m[2], m[0]))
+            c = sizes.get(t, 0.0)
+            for m in ms:
+                c += 1.0
+                if c <= cap:
+                    admitted.append(m)
+        if not admitted:
+            break
+        for v, t, _ in admitted:
+            assign[v] = t
+    return assign
+
+
+def test_refine_tcv_matches_sequential_oracle(spark):
+    from graph_partitioning_spark.partitioning import refine_tcv
+
+    nets = [
+        {0, 1, 2}, {2, 3, 4}, {4, 5, 6}, {6, 7, 0},
+        {1, 3, 5, 7}, {0, 4}, {2, 6}, {8, 9}, {8, 0, 2}, {9, 5},
+    ]
+    pins = spark.createDataFrame(
+        [(i, int(p)) for i, net in enumerate(nets) for p in net],
+        "net long, pin long",
+    )
+    init = {v: v % 3 for v in range(10)}
+    assign = spark.createDataFrame(list(init.items()), "id long, partition int")
+    got_df, info = refine_tcv(pins, assign, k=3, slack=0.4, sweeps=3)
+    got = {r["id"]: r["partition"] for r in got_df.collect()}
+    want = _np_refine_tcv([set(n) for n in nets], init, k=3, slack=0.4, sweeps=3)
+    assert got == want
+    assert sum(info["moves"]) > 0
+
+
+def test_refine_tcv_improves_best_of(spark):
+    """The PaToH role, completed: best-of-N only SELECTS by min TCV;
+    refine_tcv must then strictly improve the connectivity objective on
+    the clique hypergraph, without breaking balance."""
+    import numpy as np
+
+    from graph_partitioning_spark.partitioning import (
+        FennelConfig,
+        best_of,
+        clique_pins,
+        hypergraph_tcv,
+        maximal_cliques,
+        refine_tcv,
+    )
+    from .test_fennel import _edges_df, planted_graph
+
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=4)
+    base, info = best_of(edges, cfg, n_runs=3, objective="tcv")
+    pins = clique_pins(maximal_cliques(edges)).persist()
+    before = hypergraph_tcv(pins, base)
+    refined, rinfo = refine_tcv(pins, base, k=3, slack=0.1, sweeps=4)
+    after = hypergraph_tcv(pins, refined)
+    assert after < before, f"TCV {before} -> {after}: no improvement"
+    counts = {}
+    for r in refined.collect():
+        counts[r["partition"]] = counts.get(r["partition"], 0) + 1
+    assert max(counts.values()) <= 1.1 * 180 / 3 + 1e-9
+    pins.unpersist()

@@ -9,6 +9,7 @@ C library internals.
 """
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from graph_partitioning_spark.graph.edges import undirect
 from graph_partitioning_spark.partitioning import (
@@ -273,14 +274,23 @@ def test_multilevel_lpa_coarsener_quality(spark):
     assert waste(result, 3, n_nodes=len(rows)) < 0.35
 
 
-def test_multilevel_degenerates_to_fennel_when_no_coarsening(spark):
+def test_multilevel_degenerates_to_seeded_fennel_when_no_coarsening(spark):
+    """With no coarsening, multilevel IS one FENNEL solve — from the
+    balanced modular cold start it always seeds (cold-start first
+    assignments bypass the inflow cap; on weighted coarse graphs the
+    unseeded solve herded 57% of the graph into one partition, round 5)."""
+    from graph_partitioning_spark.partitioning import modular_initial
+
     src, dst, w = random_edges(100, 300, seed=9)
     edges = _edges_df(spark, src, dst, w)
     cfg = FennelConfig(num_partitions=3, num_iterations=3, micro_batches=4)
     ml = MultilevelConfig(coarsen_to=10_000)  # graph already small enough
     got, info = multilevel_partition(edges, cfg, ml)
     assert info["levels"] == []
-    exp, _ = fennel_partition(edges, cfg)
+    from graph_partitioning_spark.graph.edges import symmetrize
+
+    ids = symmetrize(edges).select(F.col("src").alias("id")).distinct()
+    exp, _ = fennel_partition(edges, cfg, initial=modular_initial(ids, 3))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
 
 

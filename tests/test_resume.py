@@ -123,3 +123,109 @@ def test_fennel_resume_rejects_bucket_schedule_mismatch(spark, graph, tmp_path):
     assert part2.count() == und.selectExpr("src as id").union(
         und.selectExpr("dst as id")
     ).distinct().count()
+
+
+def test_multilevel_resume_mid_uncoarsen_bit_identical(spark, tmp_path, monkeypatch):
+    """Kill the pyramid mid-uncoarsening; the resumed run must CONTINUE
+    from the newest milestone (not restart) and produce bit-identical
+    final assignments to an uninterrupted run."""
+    import graph_partitioning_spark.partitioning.multilevel as mlmod
+    from graph_partitioning_spark.partitioning import (
+        MultilevelConfig,
+        multilevel_partition,
+    )
+    from .test_fennel import _edges_df, planted_graph
+
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=4, micro_batches=6)
+    ml = MultilevelConfig(coarsen_to=40, max_levels=4, refine="boundary",
+                          boundary_sweeps=2)
+    full, info_full = multilevel_partition(edges, cfg, ml)
+    want = {r["id"]: r["partition"] for r in full.collect()}
+    assert len(info_full["levels"]) >= 2  # the kill below needs ≥2 refinements
+
+    orig = mlmod.refine_boundary
+    calls = {"n": 0}
+
+    def bomb(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed mid-uncoarsen")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mlmod, "refine_boundary", bomb)
+    cp = CheckpointManager(str(tmp_path / "mlv"), "run")
+    with pytest.raises(RuntimeError, match="killed mid-uncoarsen"):
+        multilevel_partition(edges, cfg, ml, checkpointer=cp)
+    monkeypatch.setattr(mlmod, "refine_boundary", orig)
+
+    cp2 = CheckpointManager(str(tmp_path / "mlv"), "run")
+    got_df, info = multilevel_partition(edges, cfg, ml, checkpointer=cp2)
+    assert info.get("resumed_from") in ("uncoarsen", "coarse_solved")
+    got = {r["id"]: r["partition"] for r in got_df.collect()}
+    assert got == want
+
+
+def test_multilevel_resume_mid_coarsen_bit_identical(spark, tmp_path, monkeypatch):
+    """Kill during coarsening (second matching round); resume must skip the
+    completed matching, continue coarsening, and finish bit-identical."""
+    import graph_partitioning_spark.partitioning.multilevel as mlmod
+    from graph_partitioning_spark.partitioning import (
+        MultilevelConfig,
+        multilevel_partition,
+    )
+    from .test_fennel import _edges_df, planted_graph
+
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=4, micro_batches=6)
+    ml = MultilevelConfig(coarsen_to=40, max_levels=4, refine="boundary",
+                          boundary_sweeps=2)
+    full, info_full = multilevel_partition(edges, cfg, ml)
+    want = {r["id"]: r["partition"] for r in full.collect()}
+    assert len(info_full["levels"]) >= 2
+
+    orig = mlmod.hem_matching
+    calls = {"n": 0}
+
+    def bomb(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed mid-coarsen")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mlmod, "hem_matching", bomb)
+    cp = CheckpointManager(str(tmp_path / "mlc"), "run")
+    with pytest.raises(RuntimeError, match="killed mid-coarsen"):
+        multilevel_partition(edges, cfg, ml, checkpointer=cp)
+    monkeypatch.setattr(mlmod, "hem_matching", orig)
+
+    cp2 = CheckpointManager(str(tmp_path / "mlc"), "run")
+    got_df, info = multilevel_partition(edges, cfg, ml, checkpointer=cp2)
+    assert info.get("resumed_from") == "coarsen"
+    assert [d["n"] for d in info["levels"]] == [d["n"] for d in info_full["levels"]]
+    got = {r["id"]: r["partition"] for r in got_df.collect()}
+    assert got == want
+
+
+def test_multilevel_resume_rejects_config_mismatch(spark, tmp_path):
+    from graph_partitioning_spark.partitioning import (
+        MultilevelConfig,
+        multilevel_partition,
+    )
+    from .test_fennel import _edges_df, planted_graph
+
+    src, dst, w = planted_graph()
+    edges = _edges_df(spark, src, dst, w)
+    cfg = FennelConfig(num_partitions=3, num_iterations=2, micro_batches=4)
+    ml = MultilevelConfig(coarsen_to=40, max_levels=2)
+    cp = CheckpointManager(str(tmp_path / "mlr"), "run")
+    multilevel_partition(edges, cfg, ml, checkpointer=cp)
+    with pytest.raises(ValueError, match="k="):
+        multilevel_partition(
+            edges,
+            FennelConfig(num_partitions=4, num_iterations=2, micro_batches=4),
+            ml,
+            checkpointer=CheckpointManager(str(tmp_path / "mlr"), "run"),
+        )
