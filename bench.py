@@ -110,6 +110,9 @@ def main() -> None:
         "ann_topk",
         "ann_kmeans",       # learned IVF quantizer path (round 4)
         "dedup_clusters",   # LSH pairs -> CC -> keep-list (round 4)
+        "embed_text",       # hashed-token text embeddings (round 5)
+        "embed_kmeans",     # text -> embedding -> learned IVF (round 5)
+        "refine_level",     # boundary FM refinement sweep (round 5)
         "events_hourly",
         "user_sessions",
         "tpch_q1",

@@ -7,11 +7,14 @@ run would exhibit (every stage is a scan + bounded-key shuffle; nothing
 driver-side).
 
 Synthetic corpus (deterministic, generated JVM-side, no Python row path):
-80% canonical documents (12-40 word bodies from the shared WORDS pool,
-seeded by doc id), 10% exact duplicates of a hash-picked canonical doc,
-10% near-duplicates (same body + one extra token) — so the expected
-cluster structure is known and the keep-list is sanity-checked, not just
-timed.
+80% canonical documents — 12-40 token bodies over a 30k-token synthetic
+vocabulary ("w<id>"), seeded by doc id; the 63-word demo pool the pages
+generator uses is far too small here (5-char shingles of a tiny shared
+vocabulary collide across UNRELATED docs, and a first cut of this bench
+clustered 89% of the corpus together) — 10% exact duplicates of a
+hash-picked canonical doc, 10% near-duplicates (same body + one extra
+token). The expected cluster structure is known, so the keep-list is
+sanity-checked, not just timed.
 
 Usage:
     python tools/bench_dedup.py [n_docs]      (default 10_000_000)
@@ -34,7 +37,6 @@ from graph_partitioning_spark.data.dedup import (  # noqa: E402
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from graph_partitioning_spark.sources.pages import WORDS  # noqa: E402
 
 
 def synth_docs(spark, n: int):
@@ -49,15 +51,14 @@ def synth_docs(spark, n: int):
     n_body = (
         F.lit(12) + F.pmod(F.xxhash64(F.lit("blen"), canon), F.lit(29))
     ).cast("int")
-    words_arr = F.array(*[F.lit(w) for w in WORDS])
     body = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(0), n_body - 1),
-            lambda j: F.element_at(
-                words_arr,
-                (F.pmod(F.xxhash64(F.lit("w"), canon, j), F.lit(len(WORDS))) + 1).cast(
-                    "int"
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.lit("w"), canon, j), F.lit(30_000)).cast(
+                    "string"
                 ),
             ),
         ),
