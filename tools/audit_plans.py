@@ -208,6 +208,40 @@ def main() -> None:
     print("[audit] single-parse ingest: edge path has zero Arrow parse nodes — OK")
 
     e._EDGE_CACHE.clear()
+    # round 5: embed_text must be a MAP-ONLY pass — feature hashing is one
+    # projection over the scan; any Exchange means a shuffle snuck into
+    # what should fuse with the parquet read at 10^12 docs
+    et = e.q_embed_text(spark, sf)
+    et_plan = io.StringIO()
+    with redirect_stdout(et_plan):
+        et.explain("formatted")
+    et_txt = et_plan.getvalue()
+    n_ex = et_txt.count("Exchange")
+    assert n_ex == 0, f"embed_text plans {n_ex} Exchange(s) — must be map-only"
+    print("[audit] embed_text: map-only (0 exchanges), fuses with the scan — OK")
+
+    # round 5: refine_level (boundary FM sweep) — admission windows must be
+    # per-target partitioned, never a global sort; no all-pairs product
+    rl = e.q_refine_level(spark, sf)
+    rl_plan = io.StringIO()
+    with redirect_stdout(rl_plan):
+        rl.explain("formatted")
+    rl_txt = rl_plan.getvalue()
+    assert "SinglePartition" not in rl_txt, (
+        "refine_level plans a SinglePartition exchange — a global window/sort"
+    )
+    assert "CartesianProduct" not in rl_txt, "refine_level plans a cartesian"
+    print("[audit] refine_level: per-target windows, no global sort — OK")
+
+    # round 5: the text->embedding->IVF pipeline keeps the probe equi-join
+    em = e.q_embed_kmeans(spark, sf)
+    em_plan = io.StringIO()
+    with redirect_stdout(em_plan):
+        em.explain("formatted")
+    em_txt = em_plan.getvalue()
+    assert "CartesianProduct" not in em_txt, "embed_kmeans plans a cartesian"
+    print("[audit] embed_kmeans: equi-join probe over derived vectors — OK")
+
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Basket shape: 2-column pruned scan, partial collect_set map-side, one orderkey shuffle, chained-generator pair expansion (posexplode + suffix explode — quadratic pair stream never materialized as one value), partial+final pair agg — 2 exchanges total (self-join shape needed 4).")
     grab("doc_quality", e.q_doc_quality(spark, sf),
@@ -222,6 +256,13 @@ def main() -> None:
          "One md5 per shingle; 16 min-aggregates partial-combined map-side; shuffle is 16 longs per doc.")
     grab("media_features", e.q_media_features(spark, sf),
          "Pruned (doc_id, text) scan into one Arrow mapInPandas featurize pass; posexplode JVM-side.")
+    grab("embed_text", et,
+         "Map-only feature hashing (asserted 0 exchanges above): one pruned "
+         "(doc_id, text) scan, md5+fold+normalize all inside codegen, fuses "
+         "with the parquet read — the shape that holds at 10^12 documents.")
+    grab("refine_level", rl,
+         "Boundary FM sweep: vote equi-join, struct-max gain argmax, "
+         "per-target admission windows (asserted: no SinglePartition).")
 
     header = (
         "# PLANS — physical-plan audit of headline queries\n\n"
