@@ -207,6 +207,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     signatures: DataFrame | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a, b, n_bands) with a < b.
 
@@ -217,6 +218,18 @@ def lsh_candidate_pairs(
     ``signatures``: optional precomputed ``minhash_signatures`` output
     (doc_id, sig) — pass it when the pipeline already materialized
     signatures so the (dominant) shingle+hash pass is not paid twice.
+
+    ``max_bucket``: drop band buckets larger than this before the
+    self-join goes quadratic — the same safe-by-default cap as
+    ``ngram_jaccard_pairs``/``cosine_near_dup_pairs``. The degenerate
+    inputs are real: a flood of empty/templated documents all collapse to
+    one signature, and a low-diversity shingle universe lets a globally
+    common shingle win the min-hash for a large corpus fraction (measured
+    while benching: decimal-number tokens produced a 51.7M-pair candidate
+    set for ~2M true duplicates at 10M docs). Dropped buckets are logged
+    to stderr; pass ``None`` to disable. Far below any true-near-dup
+    recall impact at the default: a 100k-doc bucket is never one
+    duplicate cluster.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -243,6 +256,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        sizes = band_rows.groupBy("band", "key").agg(F.count("*").alias("n"))
+        hot = sizes.filter(F.col("n") > max_bucket)
+        n_hot = hot.count()
+        if n_hot:
+            import sys
+
+            sys.stderr.write(
+                f"[lsh_candidate_pairs] dropping {n_hot} band bucket(s) larger "
+                f"than {max_bucket} docs (recall trade, see docstring)\n"
+            )
+            band_rows = band_rows.join(
+                F.broadcast(hot.select("band", "key")), ["band", "key"], "left_anti"
+            )
     left = band_rows.select(F.col("doc_id").alias("a"), "band", "key")
     right = band_rows.select(F.col("doc_id").alias("b"), "band", "key")
     return (

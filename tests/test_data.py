@@ -549,3 +549,23 @@ def test_embed_text_hashed_projection(spark, docs):
         for r in embed_text(docs, dims=32).collect()
     }
     assert all((emb[d] == again[d]).all() for d in emb)
+
+
+def test_lsh_bucket_cap_drops_degenerate_flood(spark):
+    """A flood of identical/templated docs collapses to ONE band bucket —
+    the O(bucket²) self-join must be capped by default-style max_bucket
+    (the same safety as the shingle postings cap), dropping the flood
+    while unrelated duplicate pairs still surface."""
+    docs = [(i, "aaaa bbbb cccc dddd eeee ffff") for i in range(40)]
+    docs += [
+        (100, "unique text about spark engines running fast"),
+        (101, "unique text about spark engines running fast"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = lsh_candidate_pairs(df, max_bucket=10)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), "flood bucket must be dropped"
+    full = lsh_candidate_pairs(df, max_bucket=None)
+    n_full = full.count()
+    assert n_full >= 40 * 39 // 2, "uncapped path must keep the flood pairs"

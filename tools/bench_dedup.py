@@ -51,15 +51,25 @@ def synth_docs(spark, n: int):
     n_body = (
         F.lit(12) + F.pmod(F.xxhash64(F.lit("blen"), canon), F.lit(29))
     ).cast("int")
+    # tokens are md5-hex prefixes, not decimal numbers: 5-char shingles of
+    # decimal tokens ("w2341 w87...") share digit substrings across
+    # UNRELATED docs, a few globally-common shingles win the global
+    # min-hash per seed, and the LSH buckets go quadratic (measured at
+    # 10M docs: 51.7M candidate pairs for ~2M true dups and 3.2M
+    # canonicals wrongly clustered). Hex tokens make the shingle space
+    # rich enough that candidates ≈ true duplicates.
     body = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(0), n_body - 1),
-            lambda j: F.concat(
-                F.lit("w"),
-                F.pmod(F.xxhash64(F.lit("w"), canon, j), F.lit(30_000)).cast(
-                    "string"
+            lambda j: F.substring(
+                F.md5(
+                    F.pmod(F.xxhash64(F.lit("w"), canon, j), F.lit(30_000))
+                    .cast("string")
+                    .cast("binary")
                 ),
+                1,
+                8,
             ),
         ),
     )
