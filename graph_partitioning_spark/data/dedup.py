@@ -73,16 +73,31 @@ def exact_duplicates(
 from ._util import fan_out as _fan_out  # shared: see _util.fan_out
 
 
-def _shingles(text_col: str, k: int):
-    """Distinct character k-shingles of the casefolded, space-collapsed text."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+def _shingle_rows(documents: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) — one row per distinct character k-shingle of the
+    casefolded, space-collapsed text.
+
+    The normalization is PROJECTED to a column before the per-shingle
+    ``transform`` lambda touches it. Referencing the regexp expression
+    inside the lambda body re-evaluates it once PER SHINGLE, not per
+    document — higher-order-function lambdas are interpreted with no
+    common-subexpression elimination (measured: 161s → 5.6s for 300k-doc
+    minhash signatures, a 29× cliff). Same values either way; this is
+    purely an evaluation-structure guard.
+    """
+    norm_expr = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    d = _fan_out(documents.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"), norm_expr.alias("_norm")
+    )
+    norm = F.col("_norm")
     n = F.length(norm)
-    return F.when(
+    arr = F.when(
         n >= k,
         F.array_distinct(
             F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: norm.substr(i, F.lit(k)))
         ),
     ).otherwise(F.array(norm))
+    return d.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -107,9 +122,7 @@ def ngram_jaccard_pairs(
     jaccard is understated for pairs sharing a stop-shingle, never
     overstated, because ``sizes`` is computed before the cap).
     """
-    sh = _fan_out(documents.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), F.explode(_shingles(text_col, k)).alias("shingle")
-    )
+    sh = _shingle_rows(documents, id_col, text_col, k).withColumnRenamed("doc_id", "doc")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_postings is not None:
         hot = (
@@ -182,9 +195,7 @@ def minhash_signatures(
     map-side combine shrinks the shuffle to num_hashes longs per document
     regardless of shingle count.
     """
-    sh = _fan_out(documents.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, k)).alias("shingle")
-    )
+    sh = _shingle_rows(documents, id_col, text_col, k)
     base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast(
         "long"
     )

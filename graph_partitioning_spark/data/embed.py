@@ -75,18 +75,24 @@ def embed_text(
             ).otherwise(F.lit(0)).cast("long"),
         ),
     )
+    # Stage the fold → norm → division as three PROJECTIONS. Inlined, the
+    # division lambda's reference to `norm` (which contains the whole token
+    # fold) re-evaluates the fold once per output dimension — dims× the
+    # work, since higher-order-function lambdas get no common-subexpression
+    # elimination. Values are identical; only evaluation structure changes.
+    folded = documents.select(F.col(id_col).alias("doc_id"), raw.alias("_raw"))
     # integer-valued doubles: exact at any summation order below 2^53
     norm = F.sqrt(
         F.aggregate(
-            raw, F.lit(0.0), lambda a, v: a + (v * v).cast("double")
+            F.col("_raw"), F.lit(0.0), lambda a, v: a + (v * v).cast("double")
         )
     )
+    normed = folded.select("doc_id", "_raw", norm.alias("_nrm"))
+    nrm = F.col("_nrm")
     embedding = F.when(
-        norm > 0, F.transform(raw, lambda v: v.cast("double") / norm)
-    ).otherwise(F.transform(raw, lambda v: F.lit(0.0)))
-    return documents.select(
-        F.col(id_col).alias("doc_id"), embedding.alias("embedding")
-    )
+        nrm > 0, F.transform(F.col("_raw"), lambda v: v.cast("double") / nrm)
+    ).otherwise(F.transform(F.col("_raw"), lambda v: F.lit(0.0)))
+    return normed.select("doc_id", embedding.alias("embedding"))
 
 
 def embed_text_sql(

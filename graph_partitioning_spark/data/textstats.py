@@ -75,12 +75,18 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
       0.4·min(n_words/100, 1) + 0.3·(1 − punct_ratio) + 0.3·min(stopword_ratio·5, 1)
     rounded to 6 decimals for cross-engine stability.
     """
-    words = _words(text_col)
+    # Project the split once: `words` feeds size/filter/aggregate and the
+    # divisor of three ratios — inlined, the split+filter re-runs ~8× per
+    # row (no common-subexpression elimination across these uses).
+    d = documents.select(
+        "doc_id", F.col(text_col).alias("_t"), _words(text_col).alias("_w")
+    )
+    words = F.col("_w")
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_words = F.size(words)
-    n_chars = F.length(F.col(text_col))
+    n_chars = F.length(F.col("_t"))
     punct_ratio = F.when(n_chars > 0,
-        F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9\\s]+", "")) / n_chars
+        F.length(F.regexp_replace(F.col("_t"), "[a-zA-Z0-9\\s]+", "")) / n_chars
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0,
         F.size(F.filter(words, lambda w: F.array_contains(en_stop, F.lower(w)))) / n_words
@@ -93,7 +99,7 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
     )
-    return documents.select(
+    return d.select(
         "doc_id",
         n_chars.alias("n_chars_measured"),
         n_words.alias("n_words"),
@@ -142,7 +148,15 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
       5-gram character shingles — a 1-hash winnowing-style content
       fingerprint (rolling-hash document sketch).
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    # Project the normalization once: referenced inside the per-position
+    # lambda it would re-run the regexp per shingle (~n_chars× per row —
+    # the 29× cliff measured on the dedup shingle path).
+    d = fan_out(documents).select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")).alias("_norm"),
+    )
+    norm = F.col("_norm")
     n = F.length(norm)
     shingles = F.when(
         n >= 5,
@@ -151,9 +165,9 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array(F.md5(norm.cast("binary"))))
     # ~n_chars md5s per row inside the transform — fan out a narrow scan
-    return fan_out(documents).select(
+    return d.select(
         "doc_id",
-        F.md5(F.col(text_col).cast("binary")).alias("fp_md5"),
+        F.md5(F.col("_t").cast("binary")).alias("fp_md5"),
         F.md5(norm.cast("binary")).alias("fp_norm_md5"),
         F.array_min(shingles).alias("fp_first_shingle"),
     )
