@@ -39,11 +39,14 @@ def label_propagation(
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     w_col = F.col("weight") if weighted else F.lit(1.0)
-    sym = (
+    # materialize, not just persist: the per-superstep vote join embeds this
+    # static frame's logical plan, so a deep caller lineage (pages → extract
+    # → edges) would be re-analyzed by the driver every superstep. The
+    # LogicalRDD keeps the dst hash partitioning for the join.
+    sym = materialize(
         symmetrize(edges.select("src", "dst", "weight"))
         .select("src", "dst", w_col.alias("weight"))
         .repartition(num_partitions, "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = sym.count()
 
@@ -103,5 +106,8 @@ def label_propagation(
             break
 
     loop.close()
+    # every state is truncated (truncate_every=1), so the final labels frame
+    # no longer references sym — free its checkpoint blocks
+    release(sym)
     info = {"iterations": it, "converged": converged, "counters": counters.to_dict()}
     return labels.select("id", "label"), info

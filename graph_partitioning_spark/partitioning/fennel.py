@@ -288,7 +288,12 @@ def _fennel_partition_impl(
         sym = sym.withColumn(
             "_eb", _bucket_expr(F.col("src"), config)
         ).repartitionByRange(n_parts, "_eb", "src")
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize, not just persist: every bucket step's vote join embeds
+    # this static frame's logical plan, so a deep caller lineage (pages →
+    # extract → edges) would be re-analyzed by the driver on every step.
+    # The LogicalRDD keeps the (_eb, src) range partitioning the bucket
+    # pruning relies on.
+    sym = materialize(sym)
     # ONE degree aggregation serves four pre-loop needs that a naive setup
     # pays separate shuffles for: the edge-vertex set (all_ids /
     # has_edge), the vertex count, and the skew ratio
@@ -956,7 +961,8 @@ def foaf_reassign(
     Returns ``(id, partition)``.
     """
     k = num_partitions
-    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize: cut the caller's lineage out of the two FOAF vote joins
+    sym = materialize(symmetrize(edges))
     try:
         edge_ids = sym.select(F.col("src").alias("id")).distinct()
         all_ids = (

@@ -268,7 +268,10 @@ def lpa_coarsen(
         sym = sym.join(ex, sym.src == ex.id, "left_anti")
         ex2 = exclude.select("id")
         sym = sym.join(ex2, sym.dst == ex2.id, "left_anti")
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize: the per-round vote join embeds this static frame's plan;
+    # truncating here keeps each round's driver-side analysis constant even
+    # when the caller hands in a deep-lineage edge frame
+    sym = materialize(sym)
 
     ids = symmetrize(edges).select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -341,7 +344,7 @@ def lpa_coarsen(
         release(old)
 
     vmap = labels.select("id", F.col("label").alias("super_id"))
-    sym.unpersist()
+    release(sym)
     return vmap
 
 
@@ -762,7 +765,8 @@ def refine_boundary(
     ``info['moves']`` lists admitted-move counts per sweep and
     ``info['gain_admitted']`` the summed admitted gain.
     """
-    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize: each sweep's vote join embeds this static frame's plan
+    sym = materialize(symmetrize(edges))
     w_col = (
         vertices.select("id", F.col("weight").alias("_w"))
         if vertices is not None
@@ -861,5 +865,5 @@ def refine_boundary(
         gains.append(float(stats["g"] or 0.0))
         if n_moved == 0:
             break
-    sym.unpersist()
+    release(sym)
     return state, {"moves": moves, "gain_admitted": sum(gains)}
