@@ -1654,10 +1654,24 @@ NEARDUP_DIMS = EMBED_GATE_DIMS  # hashed-projection dims (hyperplane width)
 
 def _embedded_docs(spark, sf_dir):
     """(vec_id, embedding) derived from documents.text — the engine-side
-    twin of the ``embedded`` oracle CTE (embed.embed_text_sql)."""
-    return embed_text(
-        _read(spark, sf_dir, "documents"), dims=EMBED_GATE_DIMS
-    ).withColumnRenamed("doc_id", "vec_id")
+    twin of the ``embedded`` oracle CTE (embed.embed_text_sql).
+
+    Memoized + persisted per sf_dir: every consumer (kmeans fit rounds,
+    k-centroid bucket assignment, per-bit hyperplane signatures, the
+    exact-cosine pass, the gate explode) references the embedding column
+    repeatedly, and the hashed-token fold is a CodegenFallback expression
+    with no CSE — uncached, each extra reference re-runs the fold
+    (measured 214s vs <10s for embed_kmeans at sf0.1). The cache is the
+    same persist-before-iterate discipline MLlib requires of its fit
+    inputs."""
+    key = f"{sf_dir}::embedded"
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE[key] = (
+            embed_text(_read(spark, sf_dir, "documents"), dims=EMBED_GATE_DIMS)
+            .withColumnRenamed("doc_id", "vec_id")
+            .persist()
+        )
+    return _EDGE_CACHE[key]
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -1681,7 +1695,7 @@ def q_embed_text(spark, sf_dir):
     per Weinberger et al. ICML'09; every value must match the DuckDB
     replay bit-for-bit (integer bucket sums, exact norm, one IEEE
     division — no rounding tolerance)."""
-    emb = embed_text(_read(spark, sf_dir, "documents"), dims=EMBED_GATE_DIMS)
+    emb = _embedded_docs(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim", "value")
     ).select("doc_id", F.col("dim").cast("int").alias("dim"), "value")

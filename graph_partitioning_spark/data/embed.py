@@ -44,6 +44,7 @@ def embed_text(
     dims: int = EMBED_DIMS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_tasks: int | None = None,
 ) -> DataFrame:
     """(doc_id, embedding: array<double>) — unit-normalized hashed
     projection of the document's whitespace tokens.
@@ -55,7 +56,31 @@ def embed_text(
     array — md5 runs ONCE per token (hashes are precomputed into an array
     before the fold; a naive per-dim lambda would re-hash dims× per
     token). All-empty documents embed as the zero vector.
+
+    ``min_tasks``: the fold is a CPU-heavy NARROW projection, so its
+    parallelism is whatever the input scan provides — and a small parquet
+    table arrives as ONE split, serializing the entire corpus's token
+    hashing onto one core (measured: 26s single-task vs <1.5s at 32 at
+    sf0.1). When the input has fewer partitions than
+    ``sc.defaultParallelism`` the input is hash-repartitioned on
+    ``id_col`` first (hash, not round-robin: no sort-for-determinism
+    pass over the wide text column). At cluster scale a 10^12-doc scan
+    already has ≥ cores splits and this is a no-op; pass ``min_tasks=0``
+    to disable.
+
+    Consumers that reference the embedding column MORE THAN ONCE in a
+    single downstream expression (k centroid distances, per-bit
+    hyperplane dot products) or explode it must put a materialization
+    barrier (``persist``/checkpoint) on this frame first: higher-order
+    folds are CodegenFallback expressions that get NO common-subexpression
+    elimination, so each extra reference re-runs the whole token fold
+    (BENCH.md "interpreted-lambda evaluation cliffs").
     """
+    spark = documents.sparkSession
+    if min_tasks is None:
+        min_tasks = spark.sparkContext.defaultParallelism
+    if min_tasks and documents.rdd.getNumPartitions() < min_tasks:
+        documents = documents.repartition(min_tasks, F.col(id_col))
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != ""
     )
