@@ -45,6 +45,61 @@ def materialize(df: DataFrame) -> DataFrame:
     return out
 
 
+def plan_size(df: DataFrame, cap: int = 500) -> int:
+    """Node count of the analyzed logical plan, walked via py4j with a
+    ``cap`` so a pathological plan costs O(cap) JVM calls, not O(plan)."""
+    def walk(node, budget):
+        if budget <= 0:
+            return 0
+        n = 1
+        children = node.children()
+        for i in range(children.size()):
+            if n >= budget:
+                break
+            n += walk(children.apply(i), budget - n)
+        return n
+
+    return walk(df._jdf.queryExecution().analyzed(), cap)
+
+
+def materialize_static(df: DataFrame, max_plain_plan: int = 80) -> DataFrame:
+    """Barrier for STATIC frames (computed once, then only *joined against*
+    every superstep: pagerank's link table, a vote loop's symmetrized edge
+    frame) — truncate the plan only when there is lineage worth truncating.
+
+    The round-5 failure this guards is a DEEP caller lineage (pages →
+    extraction → edges, 100+ logical nodes) re-analyzed by the driver on
+    every superstep that joins the frame. But the eager
+    persist→count→checkpoint dance of :func:`materialize` costs two extra
+    jobs and a cache→checkpoint block copy per frame — measured +5s of
+    pure prep per pagerank call at sf0.1, paid even by the common case
+    where the frame is a shallow parquet/cache scan (8–42 nodes) whose
+    per-superstep re-analysis is already trivial. So: shallow plans keep
+    the plain lazy persist (first consuming job fills the cache, exactly
+    the pre-truncation cost), deep plans get a lazy local checkpoint —
+    the LogicalRDD keeps the frame's partitioning, truncates analysis to
+    O(1), and folds its single evaluation into whichever job touches the
+    frame first. Thresholds measured: bench-path static frames ≤~60 nodes
+    (links 42–45, vertices ~60), composed-pipeline ones ≥136. One more
+    AQE wrinkle the threshold sidesteps for shallow frames:
+    ``localCheckpoint(eager=False)`` is NOT lazy under adaptive execution —
+    ``AdaptiveSparkPlanExec.doExecute`` materializes the shuffle stages at
+    call time — so the "lazy" path still pays its evaluation inside the
+    caller's prepare step, acceptable only when it replaces a deep-lineage
+    re-analysis, not as the common case.
+
+    NOT for loop state: a lazy checkpoint still references its upstream
+    blocks until first evaluated (release-before-action would be a
+    use-after-free), and self-referencing state needs :func:`materialize`'s
+    cache-first stats discipline (see its docstring). Static join inputs
+    are referenced a constant number of times per superstep, so their
+    estimated stats never compound. ``release`` handles both variants.
+    """
+    if plan_size(df, max_plain_plan + 1) <= max_plain_plan:
+        return df.persist()
+    return df.localCheckpoint(eager=False)
+
+
 def release(df: DataFrame | None) -> None:
     """Free a previously materialized/persisted state (best-effort).
 

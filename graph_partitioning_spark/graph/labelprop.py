@@ -24,7 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager, Counters
 from .edges import symmetrize
-from .iterutil import LoopState, materialize, release
+from .iterutil import LoopState, materialize, materialize_static, release
 
 
 def label_propagation(
@@ -43,7 +43,7 @@ def label_propagation(
     # static frame's logical plan, so a deep caller lineage (pages → extract
     # → edges) would be re-analyzed by the driver every superstep. The
     # LogicalRDD keeps the dst hash partitioning for the join.
-    sym = materialize(
+    sym = materialize_static(
         symmetrize(edges.select("src", "dst", "weight"))
         .select("src", "dst", w_col.alias("weight"))
         .repartition(num_partitions, "dst")

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager, Counters
-from .iterutil import materialize, release
+from .iterutil import materialize, materialize_static, release
 
 
 def _prepare(edges: DataFrame, weighted: bool, num_partitions: int):
@@ -53,26 +53,35 @@ def _prepare(edges: DataFrame, weighted: bool, num_partitions: int):
         links = e.join(outdeg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("share")
         )
-    # materialize (localCheckpoint), not just persist: every superstep's
-    # logical plan embeds these static frames — persisted, they still carry
-    # the caller's full lineage (e.g. the whole HTML-extraction pipeline),
-    # and the loop's double self-reference doubles the tree per superstep,
-    # so analysis cost grows ~2.5× per iteration between truncations
-    # (measured: 1.3s → 11.4s by superstep 4 on a 2,000-page graph).
-    # LogicalRDD keeps the hash partitioning, so the per-superstep join
-    # still shuffles only the rank table.
-    links = materialize(links.repartition(num_partitions, "src"))
+    # plan-truncation barrier for deep caller lineage, plain persist for
+    # shallow plans (see iterutil.materialize_static): every superstep's
+    # logical plan embeds these static frames, and un-truncated, a deep
+    # lineage (pages → extraction → edges) is re-analyzed per superstep —
+    # analysis grew ~2.5× per iteration (1.3s → 11.4s by superstep 4 on a
+    # 2,000-page graph). Either variant keeps the hash partitioning, so
+    # the per-superstep join still shuffles only the rank table.
+    links = materialize_static(links.repartition(num_partitions, "src"))
 
+    # vertices derive FROM LINKS, not from e: the share join is inner on
+    # src with every src present in its own degree table, so links carries
+    # exactly e's edge set — and reading the just-cached/truncated links
+    # costs one cache scan where a second derivation from e would replay
+    # the caller's whole edge pipeline (measured −1.5s cold at sf0.1).
     vertices = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        links.select(F.col("src").alias("id"))
+        .union(links.select(F.col("dst").alias("id")))
         .distinct()
     )
-    srcs = e.select(F.col("src").alias("id")).distinct()
-    vertices = materialize(
+    srcs = links.select(F.col("src").alias("id")).distinct()
+    # plain persist, no truncation barrier: unlike links, vertices never
+    # enters the superstep loop — it is analyzed exactly twice (the n count
+    # and the initial ranks frame), and its plan reads the links barrier,
+    # not the caller's lineage
+    vertices = (
         vertices.join(srcs.withColumn("_has_out", F.lit(True)), "id", "left")
         .select("id", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
         .repartition(num_partitions, "id")
+        .persist()
     )
     return links, vertices
 
@@ -102,17 +111,25 @@ def pagerank(
 
     _prep0 = _t.time()
     links, vertices = _prepare(edges, weighted, num_partitions)
-    m = links.count()
+    # ONE job fills the links barrier AND returns m + the in-degree skew:
+    # m = Σ per-dst counts, so a separate links.count() plus a skew pass
+    # would scan the edge table twice more for numbers this aggregation
+    # already has (−2 full passes over E in the prepare phase)
+    indeg_stats = (
+        links.groupBy("dst").agg(F.count("*").alias("d"))
+        .agg(
+            F.sum("d").alias("m"),
+            F.max("d").alias("mx"),
+            F.avg("d").alias("av"),
+        )
+        .first()
+    )
+    m = int(indeg_stats["m"] or 0)
     n = vertices.count()
     if n == 0:
         empty = spark.createDataFrame([], "id long, pagerank double")
         return empty, {"iterations": 0, "converged": True, "delta": 0.0, "counters": {}}
 
-    indeg_stats = (
-        links.groupBy("dst").agg(F.count("*").alias("d"))
-        .agg(F.max("d").alias("mx"), F.avg("d").alias("av"))
-        .first()
-    )
     skew_ratio = float(indeg_stats["mx"]) / max(float(indeg_stats["av"]), 1e-12)
 
     counters = Counters(skew_ratio=skew_ratio)

@@ -63,7 +63,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager, Counters
 from ..graph.edges import symmetrize
-from ..graph.iterutil import materialize, release
+from ..graph.iterutil import materialize, materialize_static, release
 
 
 @dataclass
@@ -293,7 +293,7 @@ def _fennel_partition_impl(
     # extract → edges) would be re-analyzed by the driver on every step.
     # The LogicalRDD keeps the (_eb, src) range partitioning the bucket
     # pruning relies on.
-    sym = materialize(sym)
+    sym = materialize_static(sym)
     # ONE degree aggregation serves four pre-loop needs that a naive setup
     # pays separate shuffles for: the edge-vertex set (all_ids /
     # has_edge), the vertex count, and the skew ratio
@@ -962,7 +962,7 @@ def foaf_reassign(
     """
     k = num_partitions
     # materialize: cut the caller's lineage out of the two FOAF vote joins
-    sym = materialize(symmetrize(edges))
+    sym = materialize_static(symmetrize(edges))
     try:
         edge_ids = sym.select(F.col("src").alias("id")).distinct()
         all_ids = (

@@ -52,7 +52,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager, Counters
 from ..graph.edges import symmetrize
-from ..graph.iterutil import materialize, release
+from ..graph.iterutil import materialize, materialize_static, release
 from .fennel import FennelConfig, _votes, fennel_partition, modular_initial
 
 
@@ -271,7 +271,7 @@ def lpa_coarsen(
     # materialize: the per-round vote join embeds this static frame's plan;
     # truncating here keeps each round's driver-side analysis constant even
     # when the caller hands in a deep-lineage edge frame
-    sym = materialize(sym)
+    sym = materialize_static(sym)
 
     ids = symmetrize(edges).select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -766,7 +766,7 @@ def refine_boundary(
     ``info['gain_admitted']`` the summed admitted gain.
     """
     # materialize: each sweep's vote join embeds this static frame's plan
-    sym = materialize(symmetrize(edges))
+    sym = materialize_static(symmetrize(edges))
     w_col = (
         vertices.select("id", F.col("weight").alias("_w"))
         if vertices is not None
