@@ -67,19 +67,21 @@ def _prepare(edges: DataFrame, weighted: bool, num_partitions: int):
     # exactly e's edge set — and reading the just-cached/truncated links
     # costs one cache scan where a second derivation from e would replay
     # the caller's whole edge pipeline (measured −1.5s cold at sf0.1).
-    vertices = (
-        links.select(F.col("src").alias("id"))
-        .union(links.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    srcs = links.select(F.col("src").alias("id")).distinct()
+    # One aggregation replaces the old union→distinct + distinct + left-join
+    # chain (three shuffles over the endpoint multiset, plus a join): an id
+    # is dangling iff it never appears as src, so has_out = max over a
+    # per-endpoint flag — partial (map-side) agg collapses the 2|E| rows
+    # before the single shuffle. Same id set, same booleans.
+    endpoints = links.select(
+        F.col("src").alias("id"), F.lit(True).alias("has_out")
+    ).unionAll(links.select(F.col("dst").alias("id"), F.lit(False).alias("has_out")))
     # plain persist, no truncation barrier: unlike links, vertices never
     # enters the superstep loop — it is analyzed exactly twice (the n count
     # and the initial ranks frame), and its plan reads the links barrier,
     # not the caller's lineage
     vertices = (
-        vertices.join(srcs.withColumn("_has_out", F.lit(True)), "id", "left")
-        .select("id", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
+        endpoints.groupBy("id")
+        .agg(F.max("has_out").alias("has_out"))
         .repartition(num_partitions, "id")
         .persist()
     )
@@ -144,8 +146,17 @@ def pagerank(
             counters = Counters.from_dict(manifest["counters"])
             ranks = checkpointer.load_states(spark, manifest)["ranks"]
     if ranks is None:
+        # the initial state is a literal projection over the just-counted
+        # vertices cache — no barrier needed: superstep 1's plan embeds a
+        # Project over an InMemoryRelation (shallow, real stats), and the
+        # loop's own persist/truncate discipline takes over from there.
+        # materialize() here cost two extra jobs (count + checkpoint copy)
+        # of pure prep per call for state the dangling aggregate below
+        # evaluates anyway. Resumed state instead arrives as a parquet
+        # read from the manifest and keeps the hard barrier.
         ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"), "has_out")
-    ranks = materialize(ranks)
+    else:
+        ranks = materialize(ranks)
 
     delta = float("inf")
     it = start_step
@@ -253,14 +264,25 @@ def pagerank(
     if pending_release:
         # exited on a persist-only superstep: cut the final state loose from
         # its un-truncated lineage, then drain every deferred ancestor —
-        # otherwise their caches outlive the call
-        final_state = materialize(state)
+        # otherwise their caches outlive the call. The state's cache is
+        # already populated (the delta aggregate scanned every partition),
+        # so the eager checkpoint is a cache→checkpoint copy with real
+        # stats — materialize()'s persist+count here would re-run a
+        # redundant count job over the same populated cache.
+        final_state = state.localCheckpoint(eager=True)
         release(state)
         for df in pending_release:
             release(df)
         pending_release = []
         state = final_state
         ranks = state.drop("_old") if "_old" in state.columns else state
+
+    if it == start_step and start_step == 0:
+        # zero supersteps ran (max_iter=0): the state is still the initial
+        # projection over the static frames — make it self-contained before
+        # their blocks are released below
+        state = materialize(state)
+        ranks = state
 
     # the final state is self-contained (materialized above or at the last
     # truncation), so the static frames' checkpoint blocks can go now —
