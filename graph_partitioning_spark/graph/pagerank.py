@@ -145,16 +145,20 @@ def pagerank(
             start_step = manifest["superstep"]
             counters = Counters.from_dict(manifest["counters"])
             ranks = checkpointer.load_states(spark, manifest)["ranks"]
-    if ranks is None:
-        # the initial state is a literal projection over the just-counted
-        # vertices cache — no barrier needed: superstep 1's plan embeds a
-        # Project over an InMemoryRelation (shallow, real stats), and the
-        # loop's own persist/truncate discipline takes over from there.
-        # materialize() here cost two extra jobs (count + checkpoint copy)
-        # of pure prep per call for state the dangling aggregate below
-        # evaluates anyway. Resumed state instead arrives as a parquet
-        # read from the manifest and keeps the hard barrier.
-        ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"), "has_out")
+    fresh_start = ranks is None
+    if fresh_start:
+        # fill the initial-state cache with the dangling aggregate itself
+        # (an aggregate scans every partition), then harden to a
+        # LogicalRDD below — materialize()'s separate count here was a
+        # redundant prep job over state the aggregate evaluates anyway.
+        # The hard truncation still matters: left as a projection over
+        # the vertices InMemoryRelation, every superstep's analyzed plan
+        # would chain through the vertices/links derivations back to the
+        # caller's lineage, and the convergence-superstep analysis was
+        # measured ~2s slower at sf0.1 for exactly that reason.
+        ranks = vertices.select(
+            "id", F.lit(1.0 / n).alias("rank"), "has_out"
+        ).persist()
     else:
         ranks = materialize(ranks)
 
@@ -182,6 +186,13 @@ def pagerank(
     dangling = (
         ranks.filter(~F.col("has_out")).agg(F.sum("rank")).first()[0] or 0.0
     )
+    if fresh_start:
+        # cache populated by the aggregate above — the eager checkpoint is
+        # a cache→checkpoint copy yielding the flat LogicalRDD the loop's
+        # analysis cost depends on (see the fresh_start note)
+        cached = ranks
+        ranks = cached.localCheckpoint(eager=True)
+        cached.unpersist()
     # `state` is always the EXACT frame that was persisted/materialized —
     # non-cascading unpersist only frees a cache whose plan is sameResult
     # with the argument, so releasing a Project over it (ranks =
