@@ -32,6 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_partitioning_spark.data.decontam import SPLIT_BUCKETS
 from graph_partitioning_spark.data.dedup import MINHASH_PRIME, minhash_params
 from graph_partitioning_spark.data.embed import embed_text, embed_text_sql
 from graph_partitioning_spark.data import (
@@ -1462,6 +1463,48 @@ def q_near_dup_jaccard(spark, sf_dir):
     )
 
 
+# Decontamination gate config: a deterministic held-out "eval set" is
+# carved from the documents table itself by seeded hash split (no external
+# data), then every remaining training document is scored for word-n-gram
+# overlap against it — the published n-gram decontamination scheme.
+DECON_SEED = 7
+DECON_EVAL_FRAC = 0.05
+DECON_N = 3
+DECON_THRESHOLD = 0.05
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by seeded md5 bucket
+    (decontam.hash_split) — content-independent, re-shard-stable; the
+    DuckDB twin computes the identical md5-prefix arithmetic."""
+    from graph_partitioning_spark.data import hash_split
+
+    return hash_split(_read(spark, sf_dir, "documents"), seed=0)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set n-gram contamination per training document
+    (decontam.contamination): eval set = the seeded 5% hash-split
+    hold-out, hits = distinct word 3-grams shared with ANY eval doc,
+    broadcast semi-join plan. The twin replays the split, the n-gram
+    generation, and the hit arithmetic value-for-value."""
+    from graph_partitioning_spark.data import contamination
+    from graph_partitioning_spark.data.decontam import with_split
+
+    docs = with_split(
+        _read(spark, sf_dir, "documents"),
+        {"train": 1.0 - DECON_EVAL_FRAC, "test": DECON_EVAL_FRAC},
+        seed=DECON_SEED,
+    )
+    # split is a projected column, so each leg is a filtered scan — no join
+    eval_docs = docs.filter(F.col("split") == "test")
+    train_docs = docs.filter(F.col("split") == "train")
+    out = contamination(
+        train_docs, eval_docs, n=DECON_N, threshold=DECON_THRESHOLD
+    )
+    return out.withColumn("contaminated", F.col("contaminated").cast("int"))
+
+
 def _minhash_sigs(spark, sf_dir):
     """Signatures computed once and cached — both the minhash and lsh_pairs
     queries consume them, so the (dominant) shingle+hash pass is paid once."""
@@ -1922,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "refine_level": q_refine_level,
         "cosine_near_dup": q_cosine_near_dup,  # rewired to text-derived vectors
+        "decontaminate": q_decontaminate,      # new r5: eval-set n-gram overlap
+        "hash_split": q_hash_split,            # new r5: deterministic corpus split
         # -- (2) graph core (north-star algorithms) --
         "copurchase_edges": q_copurchase_edges,
         "part_degrees": q_part_degrees,
@@ -1963,13 +2008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "media_features": q_media_features,
-        # -- (2) streaming twins + relational --
+        # -- (2) streaming twins --
         "events_hourly": q_events_hourly,
         "events_zscore": q_events_zscore,
-        "user_sessions": q_user_sessions,
-        "tpch_q1": q_tpch_q1,
         # -- (3) droppable tail: r4-green redundant variants; their
         #    operators stay recorded via the queries named in parentheses --
+        "user_sessions": q_user_sessions,        # streaming state (events_hourly, events_zscore)
+        "tpch_q1": q_tpch_q1,                    # relational sanity (revenue_by_nation, orders_running_total)
         "fennel_seeded": q_fennel_seeded,        # F1/F2 (fennel_partition)
         "fennel_capped": q_fennel_capped,        # F1 inflow cap (refine_level window)
         "fennel_degree_hl": q_fennel_degree_hl,  # F11 (bottleneck_order, leverage_centrality)
@@ -2501,6 +2546,60 @@ SELECT doc_id,
 FROM n""",
         "dedup_exact": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""",
+        "hash_split": f"""SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
+           % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+) b""",
+        "decontaminate": f"""WITH sp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{DECON_SEED}'), 1, 8))::BIGINT
+           % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS w
+  FROM documents
+),
+grams0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {DECON_N}
+                THEN list_distinct(list_transform(range(1, len(w) - {DECON_N - 2}),
+                                                  i -> array_to_string(w[i:i+{DECON_N - 1}], ' ')))
+                ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM norm
+),
+g AS (SELECT doc_id, gram FROM grams0 WHERE gram <> ''),
+eg AS (
+  SELECT DISTINCT g.gram FROM g JOIN sp USING (doc_id)
+  WHERE sp.bucket >= {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}
+),
+train_ids AS (
+  SELECT doc_id FROM sp
+  WHERE bucket < {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}
+),
+agg AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_ngrams,
+         SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS eval_hits
+  FROM g JOIN train_ids USING (doc_id)
+  LEFT JOIN eg ON g.gram = eg.gram
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+       COALESCE(a.eval_hits, 0)::BIGINT AS eval_hits,
+       COALESCE(ROUND(a.eval_hits / GREATEST(a.n_ngrams, 1), 6), 0.0) AS contamination,
+       CAST(COALESCE(ROUND(a.eval_hits / GREATEST(a.n_ngrams, 1), 6), 0.0)
+            >= {DECON_THRESHOLD} AS INT) AS contaminated
+FROM train_ids t LEFT JOIN agg a USING (doc_id)""",
         "near_dup_jaccard": f"""WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (

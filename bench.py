@@ -113,6 +113,8 @@ def main() -> None:
         "embed_text",       # hashed-token text embeddings (round 5)
         "embed_kmeans",     # text -> embedding -> learned IVF (round 5)
         "refine_level",     # boundary FM refinement sweep (round 5)
+        "decontaminate",    # eval-set n-gram decontamination (round 5)
+        "hash_split",       # deterministic corpus split (round 5)
         "events_hourly",
         "user_sessions",
         "tpch_q1",

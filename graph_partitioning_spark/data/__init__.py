@@ -7,6 +7,12 @@ binary-column plumbing. All hot paths are JVM-side built-ins / higher-order
 functions; Python appears only in the Arrow-batched multimodal UDFs.
 """
 
+from .decontam import (  # noqa: F401
+    contamination,
+    hash_split,
+    with_split,
+    word_ngrams,
+)
 from .dedup import (  # noqa: F401
     dedup_clusters,
     exact_duplicates,
