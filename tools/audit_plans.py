@@ -208,17 +208,34 @@ def main() -> None:
     print("[audit] single-parse ingest: edge path has zero Arrow parse nodes — OK")
 
     e._EDGE_CACHE.clear()
-    # round 5: embed_text must be a MAP-ONLY pass — feature hashing is one
-    # projection over the scan; any Exchange means a shuffle snuck into
+    # round 5: embed_text's feature hashing is one projection over the
+    # scan. The ONLY admissible Exchange is embed_text's own deliberate
+    # small-scan fan-out (hash repartition on doc_id when the scan has
+    # fewer splits than cores — a no-op at cluster scale, see
+    # embed.py min_tasks); anything else means a real shuffle snuck into
     # what should fuse with the parquet read at 10^12 docs
+    import re as _re
+
     et = e.q_embed_text(spark, sf)
     et_plan = io.StringIO()
     with redirect_stdout(et_plan):
         et.explain("formatted")
     et_txt = et_plan.getvalue()
-    n_ex = et_txt.count("Exchange")
-    assert n_ex == 0, f"embed_text plans {n_ex} Exchange(s) — must be map-only"
-    print("[audit] embed_text: map-only (0 exchanges), fuses with the scan — OK")
+    et_ex = [
+        l for l in et_txt.splitlines() if _re.match(r"^\(\d+\) Exchange", l.strip())
+    ]
+    assert len(et_ex) <= 1, f"embed_text plans {len(et_ex)} Exchanges:\n{et_txt}"
+    if et_ex:
+        assert (
+            "REPARTITION_BY_NUM" in et_txt or "REPARTITION_BY_COL" in et_txt
+        ) and "hashpartitioning(doc_id" in et_txt, (
+            "embed_text's single Exchange is not the deliberate doc_id "
+            "fan-out repartition:\n" + et_txt
+        )
+    print(
+        "[audit] embed_text: map-only fold; only the deliberate small-scan "
+        "fan-out exchange — OK"
+    )
 
     # round 5: refine_level (boundary FM sweep) — admission windows must be
     # per-target partitioned, never a global sort; no all-pairs product
@@ -242,6 +259,24 @@ def main() -> None:
     assert "CartesianProduct" not in em_txt, "embed_kmeans plans a cartesian"
     print("[audit] embed_kmeans: equi-join probe over derived vectors — OK")
 
+    # hash_split must be a pure map-only projection — any Exchange means
+    # the "carving a hold-out is one scan" claim broke
+    hs = e.q_hash_split(spark, sf)
+    hs_txt = hs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in hs_txt, "hash_split plans a shuffle:\n" + hs_txt
+    print("[audit] hash_split: map-only projection, zero exchanges — OK")
+
+    # decontaminate: the eval gram set must come in as a BROADCAST join —
+    # a sort-merge join here would shuffle the full train-side n-gram
+    # explode (corpus × ~30 rows) against a 10^5-row set
+    dc = e.q_decontaminate(spark, sf)
+    dc_txt = dc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in dc_txt, (
+        "decontaminate lost the broadcast eval-gram join:\n" + dc_txt
+    )
+    assert "CartesianProduct" not in dc_txt, "decontaminate plans a cartesian"
+    print("[audit] decontaminate: eval grams broadcast, no cartesian — OK")
+
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Basket shape: 2-column pruned scan, partial collect_set map-side, one orderkey shuffle, chained-generator pair expansion (posexplode + suffix explode — quadratic pair stream never materialized as one value), partial+final pair agg — 2 exchanges total (self-join shape needed 4).")
     grab("doc_quality", e.q_doc_quality(spark, sf),
@@ -257,12 +292,23 @@ def main() -> None:
     grab("media_features", e.q_media_features(spark, sf),
          "Pruned (doc_id, text) scan into one Arrow mapInPandas featurize pass; posexplode JVM-side.")
     grab("embed_text", et,
-         "Map-only feature hashing (asserted 0 exchanges above): one pruned "
-         "(doc_id, text) scan, md5+fold+normalize all inside codegen, fuses "
-         "with the parquet read — the shape that holds at 10^12 documents.")
+         "Map-only feature hashing: one pruned (doc_id, text) scan, "
+         "md5+fold+normalize as narrow projections; the single Exchange is "
+         "the deliberate small-scan fan-out repartition on doc_id (asserted "
+         "above — a no-op once the scan has >= cores splits), so the shape "
+         "still fuses with the parquet read at 10^12 documents.")
     grab("refine_level", rl,
          "Boundary FM sweep: vote equi-join, struct-max gain argmax, "
          "per-target admission windows (asserted: no SinglePartition).")
+    grab("hash_split", hs,
+         "Deterministic corpus split: md5-bucket arithmetic in one codegen "
+         "projection over a pruned (doc_id) scan — zero exchanges "
+         "(asserted above).")
+    grab("decontaminate", dc,
+         "Eval-set n-gram contamination: train-side n-gram explode feeds a "
+         "BROADCAST hash join against the (tiny) distinct eval gram set "
+         "(asserted above), then one partial-combined per-doc aggregate — "
+         "the only shuffle is two longs per document.")
 
     header = (
         "# PLANS — physical-plan audit of headline queries\n\n"
