@@ -1505,6 +1505,33 @@ def q_decontaminate(spark, sf_dir):
     return out.withColumn("contaminated", F.col("contaminated").cast("int"))
 
 
+def q_corpus_funnel(spark, sf_dir):
+    """The composed pre-training funnel (data.pipeline.pretraining_funnel):
+    quality → language → exact-dup → decontamination over the hash-split
+    training corpus, every document tagged with its first-rejecting stage.
+    The DuckDB twin replays all four stages and the reason priority
+    value-for-value (each stage's arithmetic is the same the standalone
+    doc_quality / doc_langid / dedup_exact / decontaminate gates pin)."""
+    from graph_partitioning_spark.data import pretraining_funnel
+    from graph_partitioning_spark.data.decontam import with_split
+
+    docs = with_split(
+        _read(spark, sf_dir, "documents"),
+        {"train": 1.0 - DECON_EVAL_FRAC, "test": DECON_EVAL_FRAC},
+        seed=DECON_SEED,
+    )
+    train = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    evald = docs.filter(F.col("split") == "test").select("doc_id", "text")
+    return pretraining_funnel(
+        train,
+        evald,
+        min_quality=0.5,
+        langs=("en",),
+        ngram=DECON_N,
+        contamination_threshold=DECON_THRESHOLD,
+    )
+
+
 def _minhash_sigs(spark, sf_dir):
     """Signatures computed once and cached — both the minhash and lsh_pairs
     queries consume them, so the (dominant) shingle+hash pass is paid once."""
@@ -2011,8 +2038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) streaming twins --
         "events_hourly": q_events_hourly,
         "events_zscore": q_events_zscore,
-        # -- (3) droppable tail: r4-green redundant variants; their
-        #    operators stay recorded via the queries named in parentheses --
+        # -- (3) droppable tail: r4-green redundant variants (operators stay
+        #    recorded via the queries named in parentheses), plus the r5
+        #    composed-funnel showcase (its four stages are each recorded
+        #    standalone; the composition is pinned by the local 62-query
+        #    check_contract sweep and pytest) --
+        "corpus_funnel": q_corpus_funnel,        # composition of 4 recorded stages
         "user_sessions": q_user_sessions,        # streaming state (events_hourly, events_zscore)
         "tpch_q1": q_tpch_q1,                    # relational sanity (revenue_by_nation, orders_running_total)
         "fennel_seeded": q_fennel_seeded,        # F1/F2 (fennel_partition)
@@ -2600,6 +2631,90 @@ SELECT t.doc_id,
        CAST(COALESCE(ROUND(a.eval_hits / GREATEST(a.n_ngrams, 1), 6), 0.0)
             >= {DECON_THRESHOLD} AS INT) AS contaminated
 FROM train_ids t LEFT JOIN agg a USING (doc_id)""",
+        "corpus_funnel": f"""WITH sp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{DECON_SEED}'), 1, 8))::BIGINT
+           % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+),
+train AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN sp USING (doc_id)
+  WHERE sp.bucket < {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}
+),
+qbase AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w
+  FROM train
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(len(w) / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) * 1.0 / length(text)
+                  ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN len(w) > 0
+                  THEN len(list_filter(w, x -> list_contains({en_stop}, lower(x)))) * 1.0 / len(w)
+                  ELSE 0.0 END) * 5.0, 1.0), 6) AS quality
+  FROM qbase
+),
+lbase AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS w
+  FROM train
+),
+lhits AS (SELECT doc_id, {lang_hits} FROM lbase),
+lang AS (SELECT doc_id, {pred_chain} AS pred_lang FROM lhits),
+canon AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS c FROM train
+),
+dnorm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS w
+  FROM documents
+),
+dgrams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {DECON_N}
+                THEN list_distinct(list_transform(range(1, len(w) - {DECON_N - 2}),
+                                                  i -> array_to_string(w[i:i+{DECON_N - 1}], ' ')))
+                ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM dnorm
+),
+dg AS (SELECT doc_id, gram FROM dgrams WHERE gram <> ''),
+eg AS (
+  SELECT DISTINCT dg.gram FROM dg JOIN sp USING (doc_id)
+  WHERE sp.bucket >= {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}
+),
+cagg AS (
+  SELECT dg.doc_id,
+         COUNT(*) AS n_ngrams,
+         SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS eval_hits
+  FROM dg JOIN train USING (doc_id)
+  LEFT JOIN eg ON dg.gram = eg.gram
+  GROUP BY dg.doc_id
+),
+scored AS (
+  SELECT q.doc_id, q.quality, l.pred_lang, (cn.doc_id <> cn.c) AS isdup,
+         COALESCE(ROUND(a.eval_hits / GREATEST(a.n_ngrams, 1), 6), 0.0) AS contamination
+  FROM qual q
+  JOIN lang l USING (doc_id)
+  JOIN canon cn USING (doc_id)
+  LEFT JOIN cagg a USING (doc_id)
+),
+final AS (
+  SELECT doc_id, quality, pred_lang, CAST(isdup AS INT) AS is_duplicate, contamination,
+         CASE WHEN quality < 0.5 THEN 'low_quality'
+              WHEN pred_lang NOT IN ('en') THEN 'language'
+              WHEN isdup THEN 'duplicate'
+              WHEN contamination >= {DECON_THRESHOLD} THEN 'contaminated'
+              ELSE 'kept' END AS reason
+  FROM scored
+)
+SELECT doc_id, quality, pred_lang, is_duplicate, contamination, reason,
+       CAST(reason = 'kept' AS INT) AS keep
+FROM final""",
         "near_dup_jaccard": f"""WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (

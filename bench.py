@@ -115,6 +115,7 @@ def main() -> None:
         "refine_level",     # boundary FM refinement sweep (round 5)
         "decontaminate",    # eval-set n-gram decontamination (round 5)
         "hash_split",       # deterministic corpus split (round 5)
+        "corpus_funnel",    # composed 4-stage pretraining funnel (round 5)
         "events_hourly",
         "user_sessions",
         "tpch_q1",

@@ -13,6 +13,7 @@ from .decontam import (  # noqa: F401
     with_split,
     word_ngrams,
 )
+from .pipeline import pretraining_funnel  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_clusters,
     exact_duplicates,

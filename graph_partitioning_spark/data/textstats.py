@@ -66,6 +66,39 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_parts(t, words) -> dict:
+    """Unrounded quality-signal Column expressions over a projected text
+    column ``t`` and (unlowered) word-array column ``words`` — shared by
+    :func:`quality_scores` and the pipeline funnel so both compute the
+    IDENTICAL composite the DuckDB oracles replay. Callers must pass
+    plain column references (the projection guard — see quality_scores)."""
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    punct_ratio = F.when(n_chars > 0,
+        F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]+", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0,
+        F.size(F.filter(words, lambda w: F.array_contains(en_stop, F.lower(w)))) / n_words
+    ).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_words > 0,
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
 def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars_measured, n_words, mean_word_len, punct_ratio,
     stopword_ratio, quality) — the classic cheap quality signals
@@ -81,33 +114,48 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     d = documents.select(
         "doc_id", F.col(text_col).alias("_t"), _words(text_col).alias("_w")
     )
-    words = F.col("_w")
-    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_words = F.size(words)
-    n_chars = F.length(F.col("_t"))
-    punct_ratio = F.when(n_chars > 0,
-        F.length(F.regexp_replace(F.col("_t"), "[a-zA-Z0-9\\s]+", "")) / n_chars
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0,
-        F.size(F.filter(words, lambda w: F.array_contains(en_stop, F.lower(w)))) / n_words
-    ).otherwise(F.lit(0.0))
-    mean_wl = F.when(n_words > 0,
-        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
-    ).otherwise(F.lit(0.0))
-    quality = (
-        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
-    )
+    p = quality_parts(F.col("_t"), F.col("_w"))
     return d.select(
         "doc_id",
-        n_chars.alias("n_chars_measured"),
-        n_words.alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        p["n_chars"].alias("n_chars_measured"),
+        p["n_words"].alias("n_words"),
+        F.round(p["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(p["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(p["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(p["quality"], 6).alias("quality"),
     )
+
+
+def lang_score_columns(lowered_words) -> list:
+    """One aliased ``_s_<lang>`` stopword-hit-count Column per candidate
+    language, over a projected LOWERCASED word-array column. The scores
+    must be PROJECTED before :func:`lang_pred_exprs` consumes them — each
+    score is referenced twice there, and the filter lambdas get no
+    common-subexpression elimination."""
+    cols = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        cols.append(
+            F.size(
+                F.filter(lowered_words, lambda w: F.array_contains(arr, w))
+            ).alias(f"_s_{lang}")
+        )
+    return cols
+
+
+def lang_pred_exprs() -> tuple:
+    """(pred_lang, best_hits) Column expressions over the projected
+    ``_s_<lang>`` columns: highest count wins, ties broken by language
+    code ascending, zero hits everywhere → 'und'."""
+    langs = sorted(STOPWORDS)
+    best_hits = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # reverse order so earlier (ascending) languages win ties
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"_s_{lg}") == best_hits) & (best_hits > 0), F.lit(lg)
+        ).otherwise(pred)
+    return pred, best_hits
 
 
 def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -120,21 +168,8 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """
     words = F.transform(_words(text_col), lambda w: F.lower(w))
     out = documents.select("doc_id", words.alias("_w"))
-    score_cols = []
-    for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        score_cols.append(
-            F.size(F.filter(F.col("_w"), lambda w: F.array_contains(arr, w))).alias(f"_s_{lang}")
-        )
-    out = out.select("doc_id", *score_cols)
-    langs = sorted(STOPWORDS)
-    best_hits = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
-    pred = F.lit("und")
-    # reverse order so earlier (ascending) languages win ties
-    for lg in reversed(langs):
-        pred = F.when(
-            (F.col(f"_s_{lg}") == best_hits) & (best_hits > 0), F.lit(lg)
-        ).otherwise(pred)
+    out = out.select("doc_id", *lang_score_columns(F.col("_w")))
+    pred, best_hits = lang_pred_exprs()
     return out.select("doc_id", pred.alias("pred_lang"), best_hits.alias("pred_hits"))
 
 

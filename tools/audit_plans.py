@@ -277,6 +277,16 @@ def main() -> None:
     assert "CartesianProduct" not in dc_txt, "decontaminate plans a cartesian"
     print("[audit] decontaminate: eval grams broadcast, no cartesian — OK")
 
+    # corpus_funnel: the composed 4-stage pipeline must keep the broadcast
+    # eval-gram join and plan no cartesian anywhere in the composition
+    cf = e.q_corpus_funnel(spark, sf)
+    cf_txt = cf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cf_txt, (
+        "corpus_funnel lost the broadcast eval-gram join:\n" + cf_txt
+    )
+    assert "CartesianProduct" not in cf_txt, "corpus_funnel plans a cartesian"
+    print("[audit] corpus_funnel: broadcast decontam stage, no cartesian — OK")
+
     grab("copurchase_edges", e.copurchase_edges(spark, sf),
          "Basket shape: 2-column pruned scan, partial collect_set map-side, one orderkey shuffle, chained-generator pair expansion (posexplode + suffix explode — quadratic pair stream never materialized as one value), partial+final pair agg — 2 exchanges total (self-join shape needed 4).")
     grab("doc_quality", e.q_doc_quality(spark, sf),
@@ -309,6 +319,12 @@ def main() -> None:
          "BROADCAST hash join against the (tiny) distinct eval gram set "
          "(asserted above), then one partial-combined per-doc aggregate — "
          "the only shuffle is two longs per document.")
+    grab("corpus_funnel", cf,
+         "Composed 4-stage pretraining funnel: quality + langid + md5 "
+         "fingerprint in ONE map-only pass over the scan, fingerprint "
+         "groupBy + same-key join for exact dedup, decontamination's "
+         "broadcast stage joined back on doc_id — the wide text column "
+         "never enters a shuffle (asserted: broadcast kept, no cartesian).")
 
     header = (
         "# PLANS — physical-plan audit of headline queries\n\n"
