@@ -654,6 +654,41 @@ _WORDS_EXPR = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
 )
 
+
+def _split_cte(seed: int) -> str:
+    """`sp` CTE: the seeded md5-bucket of decontam.with_split, shared by
+    the hash_split / decontaminate / corpus_funnel twins so the split
+    arithmetic lives in exactly one place."""
+    from graph_partitioning_spark.data.decontam import SPLIT_BUCKETS as _SB
+
+    return f"""sp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8))::BIGINT
+           % {_SB} AS bucket
+  FROM documents
+)"""
+
+
+def _wordgram_ctes(n: int, p: str = "") -> str:
+    """``{p}norm`` → ``{p}grams`` → ``{p}g`` CTE chain: the distinct word
+    n-grams of decontam.word_ngrams (NULL text as empty), shared by the
+    decontaminate and corpus_funnel twins."""
+    return f"""{p}norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS w
+  FROM documents
+),
+{p}grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {n}
+                THEN list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                                                  i -> array_to_string(w[i:i+{n - 1}], ' ')))
+                ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM {p}norm
+),
+{p}g AS (SELECT doc_id, gram FROM {p}grams WHERE gram <> '')"""
+
 _SEED_VALUES = ", ".join(
     f"({h}, {a}::BIGINT, {b}::BIGINT)" for h, (a, b) in enumerate(minhash_params(16))
 )
@@ -2577,37 +2612,14 @@ SELECT doc_id,
 FROM n""",
         "dedup_exact": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""",
-        "hash_split": f"""SELECT doc_id, bucket,
+        "hash_split": f"""WITH {_split_cte(0)}
+SELECT doc_id, bucket,
        CASE WHEN bucket < 9000 THEN 'train'
             WHEN bucket < 9500 THEN 'val'
             ELSE 'test' END AS split
-FROM (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
-           % {SPLIT_BUCKETS} AS bucket
-  FROM documents
-) b""",
-        "decontaminate": f"""WITH sp AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{DECON_SEED}'), 1, 8))::BIGINT
-           % {SPLIT_BUCKETS} AS bucket
-  FROM documents
-),
-norm AS (
-  SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                     w -> w <> '') AS w
-  FROM documents
-),
-grams0 AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(w) >= {DECON_N}
-                THEN list_distinct(list_transform(range(1, len(w) - {DECON_N - 2}),
-                                                  i -> array_to_string(w[i:i+{DECON_N - 1}], ' ')))
-                ELSE [array_to_string(w, ' ')] END) AS gram
-  FROM norm
-),
-g AS (SELECT doc_id, gram FROM grams0 WHERE gram <> ''),
+FROM sp""",
+        "decontaminate": f"""WITH {_split_cte(DECON_SEED)},
+{_wordgram_ctes(DECON_N)},
 eg AS (
   SELECT DISTINCT g.gram FROM g JOIN sp USING (doc_id)
   WHERE sp.bucket >= {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}
@@ -2631,14 +2643,9 @@ SELECT t.doc_id,
        CAST(COALESCE(ROUND(a.eval_hits / GREATEST(a.n_ngrams, 1), 6), 0.0)
             >= {DECON_THRESHOLD} AS INT) AS contaminated
 FROM train_ids t LEFT JOIN agg a USING (doc_id)""",
-        "corpus_funnel": f"""WITH sp AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{DECON_SEED}'), 1, 8))::BIGINT
-           % {SPLIT_BUCKETS} AS bucket
-  FROM documents
-),
+        "corpus_funnel": f"""WITH {_split_cte(DECON_SEED)},
 train AS (
-  SELECT d.doc_id, d.text FROM documents d JOIN sp USING (doc_id)
+  SELECT d.doc_id, COALESCE(d.text, '') AS text FROM documents d JOIN sp USING (doc_id)
   WHERE sp.bucket < {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}
 ),
 qbase AS (
@@ -2668,21 +2675,7 @@ lang AS (SELECT doc_id, {pred_chain} AS pred_lang FROM lhits),
 canon AS (
   SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS c FROM train
 ),
-dnorm AS (
-  SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                     w -> w <> '') AS w
-  FROM documents
-),
-dgrams AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(w) >= {DECON_N}
-                THEN list_distinct(list_transform(range(1, len(w) - {DECON_N - 2}),
-                                                  i -> array_to_string(w[i:i+{DECON_N - 1}], ' ')))
-                ELSE [array_to_string(w, ' ')] END) AS gram
-  FROM dnorm
-),
-dg AS (SELECT doc_id, gram FROM dgrams WHERE gram <> ''),
+{_wordgram_ctes(DECON_N, p="d")},
 eg AS (
   SELECT DISTINCT dg.gram FROM dg JOIN sp USING (doc_id)
   WHERE sp.bucket >= {int(round((1.0 - DECON_EVAL_FRAC) * SPLIT_BUCKETS))}

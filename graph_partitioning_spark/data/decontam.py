@@ -154,10 +154,14 @@ def with_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    # F.concat (not concat_ws): a NULL id must propagate to a NULL bucket
+    # and fall to the LAST split name, matching the SQL twin's
+    # CAST(id AS VARCHAR) || ':<seed>' — concat_ws would silently skip the
+    # NULL and hash every NULL id into one shared real bucket
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
                 1,
                 8,
             ),

@@ -61,12 +61,26 @@ def pretraining_funnel(
     fingerprint aggregate + same-key join (exact dedup), and
     contamination's broadcast plan joined back on ``doc_id`` — the wide
     text column never enters a shuffle.
+
+    NULL text is normalized to '' up front: a NULL md5 fingerprint would
+    silently drop the row at the dedup equi-join — exactly the silent
+    filtering this funnel exists to prevent — so NULL-text documents
+    score as empty (quality 0.3 from the punct term, lang 'und',
+    contamination 0.0) and keep their reason row.
     """
+    documents = documents.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     d = fan_out(documents.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
         _words(text_col).alias("_w"),
-        F.transform(_words(text_col), lambda w: F.lower(w)).alias("_wl"),
+    )
+    # derive the lowered words from the PROJECTED array — re-deriving from
+    # text would run the split+filter twice per row (no CSE across uses)
+    d = d.select(
+        "doc_id", "_t", "_w",
+        F.transform(F.col("_w"), lambda w: F.lower(w)).alias("_wl"),
     )
     p = quality_parts(F.col("_t"), F.col("_w"))
     s = d.select(

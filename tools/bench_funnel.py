@@ -46,12 +46,13 @@ def synth_train_dups(spark, n_train: int, n_eval: int):
     did = F.col("id")
     bucket = F.pmod(F.xxhash64(F.lit("plant"), did), F.lit(100))
     picked = F.lit(n_train) + F.pmod(F.xxhash64(F.lit("pick"), did), F.lit(n_eval))
-    # duplicate source: an earlier id whose own bucket is clean (seeded
-    # retry-free: map into [0, n/2) then force the clean range by stepping
-    # past planted buckets via the multiplier trick — we instead simply
-    # re-derive the SOURCE body from the source id, whatever its bucket;
-    # a dup-of-contaminated pair is fine (source scores contaminated, the
-    # copy scores duplicate — the funnel's priority order, measured below)
+    # duplicate source: re-derive the source's OWN body from its id. When
+    # the hash-picked source is itself in a planted bucket (~12% of picks)
+    # that body never actually appears as the source's final text, so the
+    # "duplicate" is a unique clean doc — the effective exact-dup plant is
+    # ~8.8%, further reduced to ~7.5% observed because a short source body
+    # loses to the quality stage in the priority order. The histogram
+    # check below uses these effective rates, not the nominal 10%.
     src = F.pmod(F.xxhash64(F.lit("dupof"), did), F.greatest(did, F.lit(1)))
     own = _body(did, _n_tokens(did))
     ev_body = _body(picked, _n_tokens(picked))
@@ -122,13 +123,15 @@ def main() -> None:
         "| stage | wall | rows out | rows/s |\n|---|---|---|---|\n"
         + "".join(rows)
         + f"\nReason histogram: {hist_md} — kept {kept:,} of {n_train:,}. "
-        "Planted: ~10% exact duplicates, ~2% eval copies (1% verbatim + 1% "
-        "partial); the quality bar (0.40) sits inside the synthetic 20-40 "
-        "token band so the length component rejects the short quarter; the "
-        "hex corpus has no natural language so the language stage passes "
-        "'und' through (its hit-count scan is still paid). Reasons follow "
-        "the documented priority: a short eval-copy scores low_quality, a "
-        "duplicate of a contaminated source scores duplicate. One scoring "
+        "Planted: a 10% dup slice (~8.8% effective — a dup whose "
+        "hash-picked source is itself planted copies a body that never "
+        "appears, see the generator comment) and ~2% eval copies (1% "
+        "verbatim + 1% partial); the quality bar (0.40) sits inside the "
+        "synthetic 20-40 token band so the length component rejects the "
+        "short quarter; the hex corpus has no natural language so the "
+        "language stage passes 'und' through (its hit-count scan is still "
+        "paid). Reasons follow the documented priority: a short eval-copy "
+        "or short-source duplicate scores low_quality first. One scoring "
         "pass over the corpus + one fingerprint aggregate + the broadcast "
         "decontamination stage — the text column never enters a shuffle.\n"
     )
